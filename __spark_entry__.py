@@ -1,38 +1,483 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship: build the Lucene-profile inverted index over
+sf0.001 documents and run a BM25 match query end-to-end.
+
+``queries()`` / ``oracle_sql()`` — one entry per implemented operator from
+SURVEY.md §2 (+ the training-data-pipeline extras). Full-text queries run the
+REAL engine (index built over the driver's ``documents`` table with the
+SQL-expressible ``simple`` analyzer profile — lowercase + ``[a-z0-9_]+``
+tokens, exact doc-length norms) so DuckDB can recompute the expected BM25
+scores from first principles. The Lucene-exact profile (Porter, stopwords,
+asciifolding, SmallFloat norms) is covered by the pytest golden-oracle suite
+(tests/test_queries_vs_oracle.py) since it is not SQL-expressible.
+
+Float discipline: engine and oracle SQL compute BM25 with the *same
+expression tree* (same literals, same association order; idf's ln() runs in
+glibc on both sides), so doubles agree to the last ulp except for sum order;
+all float outputs are ROUND(x, 5-6) and top-k is re-ranked by
+(rounded score DESC, doc_id ASC) on BOTH sides so boundary ties cut
+identically.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from elasticsearch_alps_spark.config import (
+    IndexConfig, QueryConfig, SIMPLE_ANALYZER,
+)
+from elasticsearch_alps_spark.indexing.builder import build_index, IndexPaths
+from elasticsearch_alps_spark.queries.engine import SearchEngine
+from elasticsearch_alps_spark.session import ship_package
+
+# --------------------------------------------------------------------- engine
+
+_PATHS: dict = {}
+
+
+def _index_paths(spark: SparkSession, sf_dir: str) -> IndexPaths:
+    """Build (once per sf_dir; resumable) the simple-profile index over the
+    driver's documents table."""
+    key = os.path.abspath(sf_dir)
+    if key not in _PATHS:
+        ship_package(spark)
+        out = os.path.join("/tmp/alps_gate_idx", key.strip("/").replace("/", "_"))
+        cfg = IndexConfig(analyzer=SIMPLE_ANALYZER, exact_analyzer=SIMPLE_ANALYZER,
+                          quantize_norms=False, build_packed=False)
+        docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        _PATHS[key] = build_index(spark, docs, out, cfg, text_col="text",
+                                  doc_id_col="doc_id", id_cols=("doc_id",),
+                                  shards=8, resume=True)
+    return _PATHS[key]
+
+
+def _engine(spark: SparkSession, sf_dir: str, **qkw) -> SearchEngine:
+    return SearchEngine(spark, _index_paths(spark, sf_dir).root,
+                        QueryConfig(**qkw))
+
+
+_BIG = 1_000_000  # fetch all matches, then re-rank by rounded score
+
+
+def _topk(hits: DataFrame, k: int) -> DataFrame:
+    return (hits.withColumn("score", F.round("score", 6))
+                .orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+                .select(F.col("doc_id").cast("long").alias("doc_id"), "score"))
+
+
+# ------------------------------------------------------- oracle SQL fragments
+
+# Must stay in lockstep with analysis/udfs.py SIMPLE_SPLIT_REGEX and the
+# engine's BM25 expression (queries/engine.py _tf_norm_col): k1=1.2 b=0.75,
+# no (k1+1), idf = ln(1+(N-df+0.5)/(df+0.5)), dl exact (quantize_norms=False).
+_PRELUDE = """
+WITH docs AS (
+  SELECT doc_id, lower(text) AS t FROM documents
+  WHERE text IS NOT NULL AND regexp_matches(text, '\\S')
+),
+toks AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(t, '[^a-z0-9_]+'),
+                             x -> x <> '') AS arr
+  FROM docs
+),
+tok AS (
+  SELECT doc_id, arr[i] AS term, i - 1 AS pos
+  FROM toks, UNNEST(generate_series(1, len(arr))) AS u(i)
+),
+dl AS (SELECT doc_id, len(arr)::DOUBLE AS dl FROM toks),
+cs AS (SELECT count(*)::DOUBLE AS n, sum(dl) / count(*) AS avgdl FROM dl),
+post AS (SELECT term, doc_id, count(*)::DOUBLE AS freq
+         FROM tok GROUP BY term, doc_id),
+tstat AS (SELECT term, count(*)::DOUBLE AS df, sum(freq)::BIGINT AS cf
+          FROM post GROUP BY term)
+"""
+
+_IDF = "ln(1.0 + (cs.n - {df} + 0.5) / ({df} + 0.5))"
+_TF = "(p.freq / (p.freq + 1.2 * (0.25 + 0.75 * dl.dl / cs.avgdl)))"
+
+
+def _sql_match(terms: list, required: int, k: int) -> str:
+    tl = ", ".join(f"'{t}'" for t in terms)
+    idf = _IDF.format(df="w.df")
+    having = (f"HAVING count(DISTINCT p.term) >= {required}"
+              if required > 1 else "")
+    return f"""{_PRELUDE}
+SELECT p.doc_id, ROUND(SUM({idf} * {_TF}), 6) AS score
+FROM post p
+JOIN (SELECT term, df FROM tstat WHERE term IN ({tl})) w USING (term)
+JOIN dl USING (doc_id) CROSS JOIN cs
+GROUP BY p.doc_id
+{having}
+ORDER BY 2 DESC, 1 ASC LIMIT {k}"""
+
+
+def _sql_phrase(terms: list, k: int) -> str:
+    joins, conds = [], []
+    for i, t in enumerate(terms[1:], 1):
+        joins.append(f"JOIN tok t{i} ON t{i}.doc_id = t0.doc_id "
+                     f"AND t{i}.pos = t0.pos + {i} AND t{i}.term = '{terms[i]}'")
+    idf_sum = " + ".join(
+        f"(SELECT ln(1.0 + (cs.n - df + 0.5) / (df + 0.5)) "
+        f"FROM tstat, cs WHERE term = '{t}')"
+        for t in dict.fromkeys(terms))
+    return f"""{_PRELUDE},
+pf AS (
+  SELECT t0.doc_id, count(*)::DOUBLE AS freq
+  FROM tok t0 {' '.join(joins)}
+  WHERE t0.term = '{terms[0]}'
+  GROUP BY t0.doc_id
+)
+SELECT pf.doc_id,
+       ROUND(({idf_sum}) *
+             (pf.freq / (pf.freq + 1.2 * (0.25 + 0.75 * dl.dl / cs.avgdl))), 6)
+         AS score
+FROM pf JOIN dl USING (doc_id) CROSS JOIN cs
+ORDER BY 2 DESC, 1 ASC LIMIT {k}"""
+
+
+# ----------------------------------------------------------------- the gate
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: Lucene-profile index build + BM25 match query on sf0.001."""
+    ship_package(spark)
+    sf_dir = "/root/testdata/sf0.001"
+    out = "/tmp/alps_entry_idx_lucene"
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    paths = build_index(spark, docs, out, IndexConfig(), text_col="text",
+                        doc_id_col="doc_id", id_cols=("doc_id",),
+                        shards=8, resume=True)
+    eng = SearchEngine(spark, paths.root)
+    hits = eng.match_query("batch window spark", "or")
+    return eng.materialize_hits(hits).select(
+        "doc_id", "score", "lang", "source", "content_sha256")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from elasticsearch_alps_spark.extras import dedup, simsearch, textstats
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    def docs_df(spark, sf):
+        return spark.read.parquet(os.path.join(sf, "documents.parquet"))
+
+    def emb_df(spark, sf):
+        return spark.read.parquet(os.path.join(sf, "embeddings.parquet"))
+
+    # ---- full-text engine (SURVEY.md §2.7 Q1-Q11) ----
+    q: dict[str, Callable] = {}
+    q["ft_match_or"] = lambda s, sf: _topk(
+        _engine(s, sf).match_query("batch window spark", "or", size=_BIG), 50)
+    q["ft_match_and"] = lambda s, sf: _topk(
+        _engine(s, sf).match_query("join hash filter", "and", size=_BIG), 50)
+    q["ft_match_msm60"] = lambda s, sf: _topk(
+        _engine(s, sf).match_query("batch window spark join hash", "or",
+                                   minimum_should_match=60, size=_BIG), 50)
+    q["ft_match_phrase"] = lambda s, sf: _topk(
+        _engine(s, sf).match_phrase_query("table value", 0, size=_BIG), 50)
+    q["ft_match_phrase3"] = lambda s, sf: _topk(
+        _engine(s, sf).match_phrase_query("batch window spark", 0, size=_BIG), 50)
+    q["ft_term_exact"] = lambda s, sf: _topk(
+        _engine(s, sf).term_query_exact("spark", size=_BIG), 100)
+    q["ft_wildcard"] = lambda s, sf: _topk(
+        _engine(s, sf).wildcard_query("ind", size=_BIG), 100)
+    q["ft_fuzzy"] = lambda s, sf: _topk(
+        _engine(s, sf).fuzzy_query("sparc", size=_BIG), 50)
+    q["ft_bool_or_msm50"] = lambda s, sf: _topk(
+        _engine(s, sf, bool_must_operator="or",
+                bool_must_minimum_should_match="50%")
+        .bool_must_query("batch window spark join", size=_BIG), 50)
+
+    # ---- index side tables (SURVEY.md §2.4 I1-I3) ----
+    def ft_term_stats(s, sf):
+        p = _index_paths(s, sf)
+        return (s.read.parquet(p.term_stats("main"))
+                .select("term", F.col("df").cast("long").alias("df"),
+                        F.col("cf").cast("long").alias("cf"))
+                .orderBy("term"))
+    q["ft_term_stats"] = ft_term_stats
+
+    def ft_doc_stats(s, sf):
+        p = _index_paths(s, sf)
+        return (s.read.parquet(p.postings("main"))
+                .groupBy("doc_id").agg(F.first("dl").alias("dl"))
+                .select(F.col("doc_id").cast("long").alias("doc_id"),
+                        F.col("dl").cast("long").alias("dl"))
+                .orderBy("doc_id"))
+    q["ft_doc_stats"] = ft_doc_stats
+
+    def ft_collection_stats(s, sf):
+        p = _index_paths(s, sf)
+        st = p.read_stats()["fields"]["main"]
+        ts = s.read.parquet(p.term_stats("main"))
+        vocab = ts.count()
+        return s.createDataFrame(
+            [(int(st["n_docs"]), int(st["cf_total"]), int(vocab),
+              round(st["avgdl"], 6))],
+            "n_docs long, cf_total long, vocab long, avgdl double")
+    q["ft_collection_stats"] = ft_collection_stats
+
+    def ft_top_terms(s, sf):
+        p = _index_paths(s, sf)
+        return (s.read.parquet(p.term_stats("main"))
+                .select("term", F.col("cf").cast("long").alias("cf"))
+                .orderBy(F.desc("cf"), F.asc("term")).limit(20))
+    q["ft_top_terms"] = ft_top_terms
+
+    def ft_hit_count(s, sf):
+        eng = _engine(s, sf)
+        hits = eng.match_query("batch window", "or", size=_BIG)
+        n = hits.count()
+        capped = min(n, eng.qcfg.track_total_hits)
+        return s.createDataFrame([(capped,)], "total_hits long")
+    q["ft_hit_count_capped"] = ft_hit_count
+
+    def ft_postings_spark(s, sf):
+        p = _index_paths(s, sf)
+        return (s.read.parquet(p.postings("main"))
+                .filter(F.col("term") == "spark")
+                .select(F.col("doc_id").cast("long").alias("doc_id"),
+                        F.col("freq").cast("long").alias("freq"),
+                        F.element_at("positions", 1).cast("long").alias("first_pos"),
+                        F.element_at("positions", -1).cast("long").alias("last_pos"))
+                .orderBy("doc_id"))
+    q["ft_postings_spark"] = ft_postings_spark
+
+    # ---- dedup suite ----
+    q["dx_exact_dups"] = lambda s, sf: dedup.exact_duplicates(
+        docs_df(s, sf), "text", "doc_id").orderBy("content_sha256")
+    q["dx_ngram_jaccard"] = lambda s, sf: (
+        dedup.ngram_jaccard_pairs(docs_df(s, sf), "text", "doc_id",
+                                  n=3, threshold=0.05)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+        .orderBy("id_a", "id_b"))
+    q["dx_minhash_lsh"] = lambda s, sf: (
+        dedup.minhash_lsh_pairs(docs_df(s, sf), "text", "doc_id",
+                                threshold=0.05)
+        .select("id_a", "id_b", F.round("est_jaccard", 6).alias("est_jaccard"))
+        .orderBy("id_a", "id_b"))  # no SQL oracle: Spark murmur3 band hashes
+    q["dx_simhash"] = lambda s, sf: (
+        dedup.simhash_pairs(docs_df(s, sf), "text", "doc_id", max_hamming=8)
+        .orderBy("id_a", "id_b"))  # no SQL oracle: FNV64 bit math
+    q["dx_embed_cosine"] = lambda s, sf: (
+        dedup.embedding_cosine_pairs(emb_df(s, sf), "vec_id", "embedding",
+                                     threshold=0.9)
+        .select("id_a", "id_b", F.round("cosine", 5).alias("cosine"))
+        .orderBy("id_a", "id_b"))
+
+    # ---- similarity search ----
+    def ann_brute(s, sf):
+        e = emb_df(s, sf)
+        qv = e.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
+        hits = simsearch.brute_force_topk(e, qv, k=_BIG, id_col="vec_id")
+        return (hits.withColumn("cosine", F.round("cosine", 5))
+                    .orderBy(F.desc("cosine"), F.asc("id")).limit(10))
+    q["sx_ann_bruteforce"] = ann_brute
+
+    def ann_lsh(s, sf):
+        e = emb_df(s, sf)
+        qv = e.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
+        hits = simsearch.lsh_topk(e, qv, k=10)
+        return (hits.withColumn("cosine", F.round("cosine", 5))
+                    .orderBy(F.desc("cosine"), F.asc("id")))
+    q["sx_ann_lsh"] = ann_lsh  # no SQL oracle: seeded numpy hyperplanes
+
+    # ---- text analysis ----
+    q["tx_text_stats"] = lambda s, sf: textstats.text_stats(
+        docs_df(s, sf), "text", "doc_id").orderBy("id")
+    q["tx_lang_id"] = lambda s, sf: (
+        textstats.language_id(docs_df(s, sf), "text", "doc_id")
+        .select("id", "lang_guess", F.round("lang_score", 6).alias("lang_score"))
+        .orderBy("id"))
+    q["tx_fingerprint"] = lambda s, sf: textstats.fingerprint_md5(
+        docs_df(s, sf), "text", "doc_id").orderBy("id")
+
+    # ---- aggregations (SURVEY.md §2.5 G1-G5 shapes) ----
+    def agg_events(s, sf):
+        ev = s.read.parquet(os.path.join(sf, "events.parquet"))
+        return (ev.groupBy("event_type")
+                .agg(F.count("*").alias("n"),
+                     F.round(F.min("value"), 6).alias("min_v"),
+                     F.round(F.max("value"), 6).alias("max_v"),
+                     F.countDistinct("user_id").alias("users"))
+                .orderBy("event_type"))
+    q["agg_events_summary"] = agg_events
+
+    def agg_docs_by_lang(s, sf):
+        d = docs_df(s, sf)
+        return (d.groupBy("lang")
+                .agg(F.count("*").alias("n"),
+                     F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+                     F.max("n_chars").cast("long").alias("max_chars"))
+                .orderBy("lang"))
+    q["agg_docs_by_lang"] = agg_docs_by_lang
+
+    return q
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    o: dict[str, str] = {}
+    o["ft_match_or"] = _sql_match(["batch", "window", "spark"], 1, 50)
+    o["ft_match_and"] = _sql_match(["join", "hash", "filter"], 3, 50)
+    o["ft_match_msm60"] = _sql_match(
+        ["batch", "window", "spark", "join", "hash"], 3, 50)  # floor(0.6*5)=3
+    o["ft_match_phrase"] = _sql_phrase(["table", "value"], 50)
+    o["ft_match_phrase3"] = _sql_phrase(["batch", "window", "spark"], 50)
+    o["ft_term_exact"] = _sql_match(["spark"], 1, 100)
+    o["ft_wildcard"] = f"""{_PRELUDE}
+SELECT DISTINCT doc_id, 1.0::DOUBLE AS score FROM post
+WHERE contains(term, 'ind')
+ORDER BY doc_id LIMIT 100"""
+    o["ft_fuzzy"] = f"""{_PRELUDE},
+expq AS (
+  SELECT term, df,
+         CASE WHEN ed = 0 THEN 1.0
+              ELSE 1.0 - ed::DOUBLE / least(length(term), 5)::DOUBLE END AS boost
+  FROM (SELECT term, df, levenshtein(term, 'sparc') AS ed FROM tstat
+        WHERE length(term) BETWEEN 4 AND 6) s
+  WHERE ed <= 1
+  ORDER BY boost DESC, term ASC LIMIT 50
+)
+SELECT p.doc_id,
+       ROUND(SUM(e.boost * ln(1.0 + (cs.n - e.df + 0.5) / (e.df + 0.5))
+                 * {_TF}), 6) AS score
+FROM post p JOIN expq e USING (term) JOIN dl USING (doc_id) CROSS JOIN cs
+GROUP BY p.doc_id ORDER BY 2 DESC, 1 ASC LIMIT 50"""
+    # bool OR over 4 single-term words with msm 50% → required 2 clauses ≡
+    # match msm with required 2
+    o["ft_bool_or_msm50"] = _sql_match(["batch", "window", "spark", "join"], 2, 50)
+
+    o["ft_term_stats"] = f"""{_PRELUDE}
+SELECT term, df::BIGINT AS df, cf FROM tstat ORDER BY term"""
+    o["ft_doc_stats"] = f"""{_PRELUDE}
+SELECT t.doc_id, count(*)::BIGINT AS dl FROM tok t GROUP BY t.doc_id
+ORDER BY t.doc_id"""
+    o["ft_collection_stats"] = f"""{_PRELUDE}
+SELECT (SELECT count(*) FROM dl)::BIGINT AS n_docs,
+       (SELECT sum(dl) FROM dl)::BIGINT AS cf_total,
+       (SELECT count(*) FROM tstat)::BIGINT AS vocab,
+       ROUND((SELECT avgdl FROM cs), 6) AS avgdl"""
+    o["ft_top_terms"] = f"""{_PRELUDE}
+SELECT term, cf FROM tstat ORDER BY cf DESC, term ASC LIMIT 20"""
+    o["ft_hit_count_capped"] = f"""{_PRELUDE}
+SELECT least(count(DISTINCT doc_id), 10000)::BIGINT AS total_hits
+FROM post WHERE term IN ('batch', 'window')"""
+    o["ft_postings_spark"] = f"""{_PRELUDE}
+SELECT doc_id, count(*)::BIGINT AS freq, min(pos)::BIGINT AS first_pos,
+       max(pos)::BIGINT AS last_pos
+FROM tok WHERE term = 'spark' GROUP BY doc_id ORDER BY doc_id"""
+
+    o["dx_exact_dups"] = """
+SELECT sha256(text) AS content_sha256, count(*)::BIGINT AS dup_count,
+       min(doc_id)::BIGINT AS keep_id
+FROM documents GROUP BY sha256(text) HAVING count(*) > 1
+ORDER BY content_sha256"""
+    o["dx_ngram_jaccard"] = """
+WITH toks AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'),
+                             x -> x <> '') AS arr
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2] AS shingle
+  FROM toks, UNNEST(generate_series(1, len(arr) - 2)) u(i)
+  WHERE len(arr) >= 3
+),
+n AS (SELECT doc_id, count(*)::BIGINT AS n_sh FROM sh GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS ia, b.doc_id AS ib, count(*)::BIGINT AS common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT ia::BIGINT AS id_a, ib::BIGINT AS id_b,
+       ROUND(common::DOUBLE / (na.n_sh + nb.n_sh - common)::DOUBLE, 6) AS jaccard
+FROM pairs JOIN n na ON na.doc_id = ia JOIN n nb ON nb.doc_id = ib
+WHERE common::DOUBLE / (na.n_sh + nb.n_sh - common)::DOUBLE >= 0.05
+ORDER BY id_a, id_b"""
+    o["dx_embed_cosine"] = """
+WITH e AS (
+  SELECT vec_id::BIGINT AS id, embedding,
+         sqrt(list_sum(list_transform(embedding,
+              x -> x::DOUBLE * x::DOUBLE))) AS nrm
+  FROM embeddings
+)
+SELECT a.id AS id_a, b.id AS id_b,
+       ROUND(list_sum(list_transform(generate_series(1, len(a.embedding)),
+                 i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))
+             / (a.nrm * b.nrm), 5) AS cosine
+FROM e a JOIN e b ON a.id < b.id
+WHERE list_sum(list_transform(generate_series(1, len(a.embedding)),
+          i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))
+      / (a.nrm * b.nrm) >= 0.9
+ORDER BY id_a, id_b"""
+    o["sx_ann_bruteforce"] = """
+WITH q AS (
+  SELECT embedding AS qv,
+         sqrt(list_sum(list_transform(embedding,
+              x -> x::DOUBLE * x::DOUBLE))) AS qn
+  FROM embeddings WHERE vec_id = 0
+),
+scored AS (
+  SELECT e.vec_id::BIGINT AS id,
+         list_sum(list_transform(generate_series(1, len(e.embedding)),
+             i -> e.embedding[i]::DOUBLE * q.qv[i]::DOUBLE))
+         / (sqrt(list_sum(list_transform(e.embedding,
+                x -> x::DOUBLE * x::DOUBLE))) * q.qn) AS cosine
+  FROM embeddings e CROSS JOIN q
+)
+SELECT id, ROUND(cosine, 5) AS cosine FROM scored
+ORDER BY ROUND(cosine, 5) DESC, id ASC LIMIT 10"""
+
+    o["tx_text_stats"] = r"""
+WITH base AS (
+  SELECT doc_id::BIGINT AS id, text,
+         length(text)::INT AS n_chars,
+         list_filter(regexp_split_to_array(lower(text), '\s+'),
+                     x -> x <> '') AS toks,
+         (length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g')))::DOUBLE
+           AS n_punct
+  FROM documents
+),
+d AS (
+  SELECT id, n_chars, len(toks)::INT AS n_tokens,
+         len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))::INT
+           AS n_bpe_tokens,
+         CASE WHEN n_chars > 0 THEN n_punct / n_chars::DOUBLE ELSE 0.0 END
+           AS punct_ratio,
+         CASE WHEN len(toks) > 0 THEN
+           len(list_filter(toks, x -> list_contains(
+               ['the','and','of','to','is','in','that','it','for'], x)))::DOUBLE
+           / len(toks)::DOUBLE ELSE 0.0 END AS stop_ratio,
+         CASE WHEN len(toks) > 0 THEN
+           list_sum(list_transform(toks, x -> length(x)::DOUBLE))
+           / len(toks)::DOUBLE ELSE 0.0 END AS mean_tok
+  FROM base
+)
+SELECT id, n_chars, n_tokens, n_bpe_tokens,
+       ROUND(punct_ratio, 6) AS punct_ratio,
+       ROUND(stop_ratio, 6) AS stopword_ratio,
+       ROUND(mean_tok, 6) AS mean_token_len,
+       ROUND(least(n_tokens::DOUBLE / 20.0, 1.0) * 0.4
+             + (1.0 - least(punct_ratio * 2.0, 1.0)) * 0.3
+             + least(mean_tok / 5.0, 1.0) * 0.3, 6) AS quality_score
+FROM d ORDER BY id"""
+    o["tx_fingerprint"] = r"""
+SELECT doc_id::BIGINT AS id,
+       md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint
+FROM documents ORDER BY id"""
+
+    o["agg_events_summary"] = """
+SELECT event_type, count(*)::BIGINT AS n,
+       ROUND(min(value), 6) AS min_v, ROUND(max(value), 6) AS max_v,
+       count(DISTINCT user_id)::BIGINT AS users
+FROM events GROUP BY event_type ORDER BY event_type"""
+    o["agg_docs_by_lang"] = """
+SELECT lang, count(*)::BIGINT AS n,
+       ROUND(avg(n_chars), 6) AS avg_chars,
+       max(n_chars)::BIGINT AS max_chars
+FROM documents GROUP BY lang ORDER BY lang"""
+    return o

@@ -1,0 +1,108 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract): ONE JSON line on stdout.
+
+Measures the two north-star metrics (BASELINE.json `metric`):
+- indexing throughput (docs/sec) building the full Lucene-profile inverted
+  index (both fields + packed delta+varint blocks) over the deterministic
+  synthetic source-code corpus (repo:FIXTURES.md §1; documents at
+  $SPARK_GRAFT_SF_DIR are only 500 rows at every sf, so load comes from the
+  synthetic corpus — ALPS_BENCH_DOCS rows, default 20k),
+- BM25 query latency (p50 over the reference query set,
+  fixtures.REFERENCE_QUERIES) for match / phrase / fuzzy — the reference's
+  default-enabled types (search.py:37-49) — plus the WAND match path.
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1), SPARK_GRAFT_CPUS
+(default 32), ALPS_BENCH_DOCS. Scaling-efficiency evidence (N vs 4N cores) is
+produced by tools/scaling_bench.py → BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import statistics
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    n_docs = int(os.environ.get("ALPS_BENCH_DOCS", "20000"))
+    sf = os.path.basename(os.path.normpath(sf_dir)).replace("sf", "")
+
+    from pyspark.sql import SparkSession
+    from elasticsearch_alps_spark.config import IndexConfig, QueryConfig
+    from elasticsearch_alps_spark.fixtures import documents_df, REFERENCE_QUERIES
+    from elasticsearch_alps_spark.indexing.builder import build_index
+    from elasticsearch_alps_spark.queries.engine import SearchEngine
+    from elasticsearch_alps_spark.session import ship_package
+
+    spark = (SparkSession.builder.master(f"local[{cpus}]")
+             .appName("alps-bench")
+             .config("spark.sql.shuffle.partitions", str(cpus))
+             .config("spark.sql.adaptive.enabled", "true")
+             .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+             .config("spark.ui.enabled", "false")
+             .config("spark.driver.memory",
+                     os.environ.get("ALPS_BENCH_DRIVER_MEM", "16g"))
+             .getOrCreate())
+    spark.sparkContext.setLogLevel("ERROR")
+    ship_package(spark)
+
+    out = tempfile.mkdtemp(prefix="alps_bench_idx_")
+    queries: dict[str, float] = {}
+    t_total0 = time.time()
+    try:
+        # ---- indexing throughput ----
+        docs = documents_df(spark, n_docs, seed=42)
+        t0 = time.time()
+        paths = build_index(spark, docs, out, IndexConfig(), shards=cpus)
+        t_index = time.time() - t0
+        indexed = paths.read_stats()["fields"]["main"]["n_docs"]
+        queries["index_build"] = round(t_index, 3)
+
+        # ---- query latency (reference set; search.py default types) ----
+        eng = SearchEngine(spark, paths.root, QueryConfig(), cache=True)
+        wand = SearchEngine(spark, paths.root, QueryConfig(use_wand=True))
+        eng.match_query("def").collect()  # warm caches / JVM
+        lat_ms = []
+        for i, q in enumerate(REFERENCE_QUERIES):
+            for qtype, fn in (("match", lambda t: eng.match_query(t)),
+                              ("phrase", lambda t: eng.match_phrase_query(t)),
+                              ("fuzzy", lambda t: eng.fuzzy_query(t))):
+                t0 = time.time()
+                fn(q).collect()
+                dt = time.time() - t0
+                queries[f"{qtype}:{q[:24]}"] = round(dt, 4)
+                lat_ms.append(dt * 1000)
+        # WAND match path on the hottest terms
+        for q in ("def", "import", "parse json config"):
+            t0 = time.time()
+            wand.match_query(q).collect()
+            queries[f"wand:{q[:24]}"] = round(time.time() - t0, 4)
+
+        p50 = statistics.median(lat_ms)
+        total = time.time() - t_total0
+        print(json.dumps({
+            "metric": "index_build_plus_query_p50",
+            "value": round(total, 3),
+            "unit": "sec",
+            "queries": queries,
+            "sf": sf,
+            "indexing_docs_per_sec": round(indexed / t_index, 1),
+            "indexed_docs": indexed,
+            "query_p50_ms": round(p50, 2),
+            "cpus": cpus,
+        }))
+    finally:
+        spark.stop()
+        shutil.rmtree(out, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,152 @@
+"""The analyzer chain — pure-Python, shared verbatim by the golden oracle and the
+vectorized Arrow UDFs so engine and oracle can never diverge on tokenization.
+
+Reproduces the semantics the reference *selects* in its ES config
+(``/root/reference/index_config/index_config_1.json:10-46``):
+char_filter html_strip → standard tokenizer → lowercase → asciifolding →
+english_stop → english_stemmer.
+
+Known, documented approximations vs Lucene:
+- ``standard`` tokenizer is approximated with ``\\w+`` (UNICODE) which matches
+  UAX#29 on alphanumerics + ``_`` (ExtendNumLet joins ``snake_case`` into one
+  token, as Lucene does) but splits ``3.14`` into ``3``/``14`` where UAX#29
+  keeps it together (MidNum). ASCII-heavy code corpora are unaffected.
+- ``html_strip`` is a regex approximation of Lucene's HTMLStripCharFilter
+  (tags removed, script/style/comment content dropped, entities decoded).
+"""
+
+from __future__ import annotations
+
+import html as _html
+import re
+import unicodedata
+from typing import List, Tuple
+
+from elasticsearch_alps_spark.analysis.porter import porter_stem
+from elasticsearch_alps_spark.analysis.stopwords import ENGLISH_STOP_WORDS
+from elasticsearch_alps_spark.config import AnalyzerConfig
+
+_TOKEN_RE = re.compile(r"\w+", re.UNICODE)
+_SIMPLE_TOKEN_RE = re.compile(r"[a-z0-9_]+")
+_SCRIPT_RE = re.compile(r"<(script|style)\b.*?</\1\s*>", re.IGNORECASE | re.DOTALL)
+_COMMENT_RE = re.compile(r"<!--.*?-->", re.DOTALL)
+_TAG_RE = re.compile(r"</?[a-zA-Z!][^>]*>")
+# camelCase / digit boundaries for code-aware sub-token splitting
+_CODE_BOUNDARY_RE = re.compile(
+    r"(?<=[a-z0-9])(?=[A-Z])|(?<=[A-Z])(?=[A-Z][a-z])|(?<=[0-9])(?=[A-Za-z])|(?<=[A-Za-z])(?=[0-9])|_+"
+)
+
+
+def html_strip(text: str) -> str:
+    """Approximation of Lucene's html_strip char filter
+    (``index_config_1.json:14-16``): drop script/style/comment content, remove
+    tags, decode entities. Replaced regions become a space so token boundaries
+    survive."""
+    if "<" not in text and "&" not in text:
+        return text
+    text = _SCRIPT_RE.sub(" ", text)
+    text = _COMMENT_RE.sub(" ", text)
+    text = _TAG_RE.sub(" ", text)
+    if "&" in text:
+        text = _html.unescape(text)
+    return text
+
+
+def ascii_fold(text: str) -> str:
+    """Lucene asciifolding (``index_config_1.json:20``): fold accented Latin to
+    ASCII; characters with no ASCII decomposition are kept unchanged (unlike a
+    bare NFKD+ascii-ignore, which would delete CJK)."""
+    if text.isascii():
+        return text
+    out = []
+    for ch in text:
+        if ord(ch) < 128:
+            out.append(ch)
+            continue
+        decomp = unicodedata.normalize("NFKD", ch)
+        folded = "".join(c for c in decomp if not unicodedata.combining(c))
+        out.append(folded if folded.isascii() and folded else ch)
+    return "".join(out)
+
+
+def _split_long(tok: str, max_len: int) -> List[str]:
+    if len(tok) <= max_len:
+        return [tok]
+    return [tok[i:i + max_len] for i in range(0, len(tok), max_len)]
+
+
+def tokenize_standard(text: str, max_token_length: int = 255) -> List[str]:
+    """UAX#29-approximate word segmentation (Lucene standard tokenizer,
+    ``index_config_1.json:17``). Over-long tokens split at max_token_length."""
+    toks: List[str] = []
+    for m in _TOKEN_RE.finditer(text):
+        toks.extend(_split_long(m.group(), max_token_length))
+    return toks
+
+
+def code_subtokens(token: str) -> List[str]:
+    """Code-aware sub-tokens: split snake_case / camelCase / digit boundaries.
+    north_star extension for the source-code payload (not in the reference)."""
+    parts = [p for p in _CODE_BOUNDARY_RE.split(token) if p]
+    return parts
+
+
+def analyze_positions(text: str, cfg: AnalyzerConfig) -> List[Tuple[str, int]]:
+    """Full chain → [(term, position)], position gaps preserved across removed
+    stopwords (Lucene stop filter keeps position increments)."""
+    if text is None:
+        return []
+    if cfg.tokenizer == "simple":
+        toks = _SIMPLE_TOKEN_RE.findall(text.lower())
+        return list(zip(toks, range(len(toks))))
+    if cfg.html_strip:
+        text = html_strip(text)
+    raw = tokenize_standard(text, cfg.max_token_length)
+    out: List[Tuple[str, int]] = []
+    pos = -1
+    for tok in raw:
+        pos += 1
+        # code-aware sub-tokens split on the ORIGINAL casing (camelCase
+        # boundaries vanish after lowercasing); all emitted at the same
+        # position, original preserved (WordDelimiterGraph-style)
+        emitted_raw = [tok]
+        if cfg.code_split:
+            subs = code_subtokens(tok)
+            if len(subs) > 1:
+                emitted_raw.extend(subs)
+        seen = set()
+        for rt in emitted_raw:
+            t = rt
+            if cfg.lowercase:
+                t = t.lower()
+            if cfg.asciifolding:
+                t = ascii_fold(t)
+            if cfg.english_stop and t in ENGLISH_STOP_WORDS:
+                continue  # position gap
+            if cfg.english_stemmer:
+                t = porter_stem(t)
+            if t and t not in seen:
+                seen.add(t)
+                out.append((t, pos))
+    return out
+
+
+def analyze(text: str, cfg: AnalyzerConfig) -> List[str]:
+    """Full chain → terms only (query-side analysis)."""
+    return [t for t, _ in analyze_positions(text, cfg)]
+
+
+def is_single_word(text: str) -> bool:
+    """The reference's single-word gate for term/wildcard/fuzzy queries
+    (``scripts/search/search.py:95-101``): ``\\b\\w+\\b`` count == 1."""
+    return len(re.findall(r"\b\w+\b", text.strip())) == 1
+
+
+def fuzzy_auto_distance(word: str) -> int:
+    """ES ``fuzziness: AUTO`` (``search.py:331``): 0 for len<3, 1 for 3-5, 2 for 6+."""
+    n = len(word)
+    if n < 3:
+        return 0
+    if n <= 5:
+        return 1
+    return 2

@@ -1,0 +1,164 @@
+"""Configuration dataclasses.
+
+Mirrors the reference's two extension points:
+- the analyzer / mapping JSON (``/root/reference/index_config/index_config_1.json``,
+  ``scripts/index/index.py:176-264``) → :class:`AnalyzerConfig` / :class:`IndexConfig`
+- the query-execution config (``scripts/search/search.py:37-49``,
+  ``scripts/search/search.sh:33-52``) → :class:`QueryConfig` (same knob names)
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field, asdict
+from typing import Optional
+
+
+@dataclass(frozen=True)
+class AnalyzerConfig:
+    """One analyzer chain (reference: ``index_config_1.json`` ``analysis.analyzer``).
+
+    The reference's ``web_content_analyzer`` = html_strip + standard tokenizer +
+    lowercase + asciifolding + english_stop + english_stemmer
+    (``index_config_1.json:12-23``); ``exact_match_analyzer`` drops stop+stem
+    (``index_config_1.json:25-35``).
+
+    ``simple`` mode (html_strip off, regex ``[a-z0-9_]+`` tokens, lowercase only)
+    exists so the exact same semantics are expressible in both Spark SQL
+    expressions and the DuckDB oracle SQL used by the driver's correctness gate.
+
+    ``code_split`` adds code-aware sub-tokens (camelCase / snake_case / digit
+    boundaries emitted at the same position, original preserved) per the
+    north-star's code-payload extension.
+    """
+
+    html_strip: bool = True
+    lowercase: bool = True
+    asciifolding: bool = True
+    english_stop: bool = False
+    english_stemmer: bool = False
+    code_split: bool = False
+    # "standard" ≈ UAX#29 word boundaries (Lucene StandardTokenizer);
+    # "simple" = split on [^a-z0-9_]+ after lowercasing (SQL-expressible).
+    tokenizer: str = "standard"
+    max_token_length: int = 255  # Lucene StandardTokenizer default
+
+    def name(self) -> str:
+        bits = [self.tokenizer]
+        for flag in ("html_strip", "lowercase", "asciifolding", "english_stop",
+                     "english_stemmer", "code_split"):
+            if getattr(self, flag):
+                bits.append(flag)
+        return "+".join(bits)
+
+
+# The reference's analyzers, by name (index_config_1.json / index_arrow.py:126-137):
+WEB_CONTENT_ANALYZER = AnalyzerConfig(
+    html_strip=True, lowercase=True, asciifolding=True,
+    english_stop=True, english_stemmer=True)
+EXACT_MATCH_ANALYZER = AnalyzerConfig(
+    html_strip=True, lowercase=True, asciifolding=True,
+    english_stop=False, english_stemmer=False)
+# index.py:176-205's built-in default (lowercase+asciifolding only, no stop/stem)
+DEFAULT_INDEX_PY_ANALYZER = EXACT_MATCH_ANALYZER
+# Code-aware variant for the source-code payload (north_star)
+CODE_CONTENT_ANALYZER = AnalyzerConfig(
+    html_strip=False, lowercase=True, asciifolding=True,
+    english_stop=False, english_stemmer=False, code_split=True)
+# SQL-expressible profile for the DuckDB oracle comparisons
+SIMPLE_ANALYZER = AnalyzerConfig(
+    html_strip=False, lowercase=True, asciifolding=False,
+    english_stop=False, english_stemmer=False, tokenizer="simple")
+
+ANALYZERS = {
+    "web_content_analyzer": WEB_CONTENT_ANALYZER,
+    "exact_match_analyzer": EXACT_MATCH_ANALYZER,
+    "code_content_analyzer": CODE_CONTENT_ANALYZER,
+    "simple": SIMPLE_ANALYZER,
+}
+
+
+@dataclass(frozen=True)
+class BM25Params:
+    """Lucene 8.11 BM25 defaults (ES 7.17's similarity). No (k1+1) factor
+    (removed in Lucene 8, LUCENE-8563)."""
+
+    k1: float = 1.2
+    b: float = 0.75
+
+
+@dataclass(frozen=True)
+class IndexConfig:
+    """Index-level knobs (reference: ``index_config_1.json`` settings + mapping).
+
+    - ``number_of_shards`` → number of hash partitions of the postings write
+      (reference hash-routes docs by ``_id``; ``index_config_1.json:3``).
+      ``None`` → dynamic sizing per ``scripts/index/index.py:107-162``.
+    - ``analyzer``/``exact_analyzer`` → the ``text`` / ``text.exact`` fields
+      (``index_config_1.json:56-72``). ``exact_analyzer=None`` skips the exact
+      postings table (term/wildcard queries then unavailable).
+    - ``truncate_chars`` → reference truncates >100k-char docs
+      (``scripts/index/index.py:421-422``).
+    - ``quantize_norms`` → Lucene SmallFloat 1-byte doc-length norms
+      (``norms: true``); False keeps exact lengths (used for the SQL-oracle
+      profile, where SmallFloat is not SQL-expressible).
+    """
+
+    analyzer: AnalyzerConfig = WEB_CONTENT_ANALYZER
+    exact_analyzer: Optional[AnalyzerConfig] = EXACT_MATCH_ANALYZER
+    number_of_shards: Optional[int] = None
+    truncate_chars: int = 100_000
+    quantize_norms: bool = True
+    bm25: BM25Params = field(default_factory=BM25Params)
+    # packed-postings block size (docs per block; Lucene uses 128)
+    block_size: int = 128
+    # build the packed delta+varint segment files in addition to the
+    # exploded postings table
+    build_packed: bool = True
+    # salt hot terms whose df exceeds this many postings per salt bucket
+    # during build/merge shuffles (north_star skew handling)
+    max_postings_per_group: int = 1_000_000
+
+    def for_oracle(self) -> "IndexConfig":
+        return IndexConfig(analyzer=SIMPLE_ANALYZER, exact_analyzer=SIMPLE_ANALYZER,
+                           number_of_shards=self.number_of_shards,
+                           truncate_chars=self.truncate_chars,
+                           quantize_norms=False, bm25=self.bm25,
+                           block_size=self.block_size,
+                           build_packed=self.build_packed)
+
+
+@dataclass
+class QueryConfig:
+    """Query-execution config — same knob names & defaults as the reference
+    (``scripts/search/search.py:37-49``)."""
+
+    execute_match_query: bool = True
+    execute_match_phrase_query: bool = True
+    execute_term_query_exact: bool = False
+    execute_wildcard_query: bool = False
+    execute_fuzzy_query: bool = True
+    execute_bool_must_query: bool = False
+    match_query_operator: list = field(default_factory=lambda: ["or"])
+    match_phrase_slop: list = field(default_factory=lambda: [0])
+    bool_must_operator: str = "and"
+    bool_must_max_words: int = 3
+    bool_must_minimum_should_match: Optional[str] = None
+
+    # engine-side knobs (not in the reference)
+    size_match: int = 50       # search.py:157
+    size_term: int = 100       # search.py:227
+    size_wildcard: int = 100   # search.py:265
+    size_fuzzy: int = 50       # search.py:309,335
+    track_total_hits: int = 10_000  # ES 7 default cap, never overridden by search.py
+    fuzzy_max_expansions: int = 50  # search.py:305
+    fuzzy_multiword_minimum_should_match: str = "60%"  # search.py:295
+    use_wand: bool = False     # block-max WAND scorer (must be result-identical)
+
+    def __post_init__(self):
+        if not isinstance(self.match_phrase_slop, list):
+            self.match_phrase_slop = [self.match_phrase_slop]
+        if not isinstance(self.match_query_operator, list):
+            self.match_query_operator = [self.match_query_operator]
+
+    def to_dict(self):
+        return asdict(self)

@@ -1,0 +1,89 @@
+"""Multimodal column plumbing: image/audio/video as opaque ``binary`` columns
+with typed metadata, processed by Arrow-batched ``mapInPandas`` operators.
+
+The decode step is STUBBED (image/audio codecs are not in this container —
+see the build brief): ``decode_image_batch`` raises NotImplementedError unless
+``fake=True``, in which case a deterministic fake decoder (seeded by the bytes'
+sha1) produces stable metadata/features so the Spark-side plumbing — schema,
+batching, partitioning, UDF signatures — is real and testable end-to-end.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+MEDIA_SCHEMA = ("media_id long, kind string, payload binary, "
+                "mime string, n_bytes long")
+
+DECODED_SCHEMA = ("media_id long, kind string, width int, height int, "
+                  "n_frames int, duration_ms double, feature array<float>")
+
+
+def attach_media_metadata(df: DataFrame, payload_col: str = "payload",
+                          kind_col: str = "kind") -> DataFrame:
+    """Typed metadata over opaque binary: size + sniffed mime from magic bytes
+    (JVM-side expressions only)."""
+    p = F.col(payload_col)
+    mime = (F.when(F.substring(p, 1, 4) == bytes([0x89, 0x50, 0x4E, 0x47]), "image/png")
+             .when(F.substring(p, 1, 3) == bytes([0xFF, 0xD8, 0xFF]), "image/jpeg")
+             .when(F.substring(p, 1, 4) == b"RIFF", "audio/wav")
+             .otherwise(F.concat(F.lit("application/"), F.col(kind_col))))
+    return df.withColumn("n_bytes", F.length(p).cast("long")) \
+             .withColumn("mime", mime)
+
+
+def _fake_decode(payload: bytes, kind: str, feat_dim: int):
+    """Deterministic fake decode: all values derived from sha1(payload)."""
+    h = hashlib.sha1(payload or b"").digest()
+    rng = np.random.RandomState(int.from_bytes(h[:4], "big"))
+    width = 16 + h[4] % 240
+    height = 16 + h[5] % 240
+    n_frames = 1 if kind == "image" else 1 + h[6] % 64
+    duration = 0.0 if kind == "image" else float(n_frames) * 40.0
+    feature = rng.standard_normal(feat_dim).astype(np.float32)
+    return width, height, n_frames, duration, feature
+
+
+def decode_media(df: DataFrame, feat_dim: int = 16, fake: bool = False,
+                 batch_rows_hint: int = 64) -> DataFrame:
+    """Decode / feature-extract via mapInPandas. Real decode is NOT available
+    in this environment — pass fake=True for the deterministic stub, else this
+    raises NotImplementedError inside the task (documented stub boundary)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "media codecs (PIL/ffmpeg/torchaudio) are not installed in "
+                    "this container; pass fake=True for the deterministic stub")
+            out = {"media_id": [], "kind": [], "width": [], "height": [],
+                   "n_frames": [], "duration_ms": [], "feature": []}
+            for _, row in pdf.iterrows():
+                w, h, nf, dur, feat = _fake_decode(
+                    bytes(row["payload"]) if row["payload"] is not None else b"",
+                    row["kind"], feat_dim)
+                out["media_id"].append(row["media_id"])
+                out["kind"].append(row["kind"])
+                out["width"].append(w)
+                out["height"].append(h)
+                out["n_frames"].append(nf)
+                out["duration_ms"].append(dur)
+                out["feature"].append(feat)
+            yield pd.DataFrame(out)
+
+    return df.select("media_id", "kind", "payload").mapInPandas(run, DECODED_SCHEMA)
+
+
+def frame_sample(decoded: DataFrame, every_n: int = 8) -> DataFrame:
+    """Frame sampling plan for video rows: one output row per sampled frame
+    index — pure Catalyst (sequence + explode), no Python."""
+    return (decoded.filter(F.col("n_frames") > 1)
+            .withColumn("frame_idx",
+                        F.explode(F.sequence(F.lit(0), F.col("n_frames") - 1,
+                                             F.lit(every_n))))
+            .select("media_id", "frame_idx", "width", "height"))

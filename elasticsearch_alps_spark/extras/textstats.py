@@ -1,0 +1,133 @@
+"""Text-analysis operators for training-data pipelines: token counting,
+quality scoring, language-ID heuristic, document fingerprinting.
+
+All pure Catalyst expressions (whole-stage-codegen; DuckDB-oracle-expressible)
+except the rolling-hash fingerprint, which is a vectorized Arrow UDF.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, functions as F, types as T
+
+# BPE-ish word/number/punctuation pieces (GPT-2-style coarse split)
+BPE_ISH_REGEX = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+_STOPWORD_MARKERS = {
+    # tiny marker sets — a deterministic n-gram/stopword-ratio heuristic,
+    # NOT a trained model (none available in this environment)
+    "en": ["the", "and", "of", "to", "is", "in", "that", "it", "for"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit", "für"],
+    "fr": ["le", "la", "les", "et", "est", "pas", "une", "pour", "dans"],
+    "es": ["el", "la", "los", "que", "es", "en", "por", "una", "para"],
+}
+
+
+def token_count(text_col: Column) -> Column:
+    """Whitespace token count (JVM-side)."""
+    return F.size(F.filter(F.split(text_col, r"\s+"), lambda x: x != F.lit("")))
+
+
+def bpe_ish_token_count(text_col: Column) -> Column:
+    """Count of BPE-ish pieces (letters runs / digit runs / single punct)."""
+    return F.size(F.regexp_extract_all(text_col, F.lit(BPE_ISH_REGEX), F.lit(0)))
+
+
+def text_stats(df: DataFrame, text_col: str = "text",
+               id_col: str = "doc_id") -> DataFrame:
+    """Per-doc stats: n_chars, n_tokens (whitespace), n_bpe_tokens,
+    punct_ratio, stopword_ratio, mean_token_len, quality_score ∈ [0,1]."""
+    c = F.col(text_col)
+    toks = F.filter(F.split(F.lower(c), r"\s+"), lambda x: x != F.lit(""))
+    n_tokens = F.size(toks)
+    n_chars = F.length(c)
+    n_punct = F.length(c) - F.length(F.regexp_replace(c, r"[^\w\s]", ""))
+    punct_ratio = F.when(n_chars > 0, n_punct.cast("double") / n_chars.cast("double")) \
+                   .otherwise(F.lit(0.0))
+    stop_arr = F.array(*[F.lit(w) for w in _STOPWORD_MARKERS["en"]])
+    n_stop = F.size(F.filter(toks, lambda x: F.array_contains(stop_arr, x)))
+    stop_ratio = F.when(n_tokens > 0, n_stop.cast("double") / n_tokens.cast("double")) \
+                  .otherwise(F.lit(0.0))
+    mean_tok = F.when(n_tokens > 0,
+                      F.aggregate(toks, F.lit(0.0),
+                                  lambda acc, x: acc + F.length(x).cast("double"))
+                      / n_tokens.cast("double")).otherwise(F.lit(0.0))
+    # quality: length in a sane band, not punctuation-dominated, some structure
+    quality = (
+        F.least(n_tokens.cast("double") / F.lit(20.0), F.lit(1.0)) * F.lit(0.4)
+        + (F.lit(1.0) - F.least(punct_ratio * F.lit(2.0), F.lit(1.0))) * F.lit(0.3)
+        + F.least(mean_tok / F.lit(5.0), F.lit(1.0)) * F.lit(0.3))
+    return df.select(
+        F.col(id_col).cast("long").alias("id"),
+        n_chars.alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        bpe_ish_token_count(c).alias("n_bpe_tokens"),
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(mean_tok, 6).alias("mean_token_len"),
+        F.round(quality, 6).alias("quality_score"))
+
+
+def language_id(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Deterministic stopword-marker language guess → (id, lang_guess,
+    lang_score). Ties broken by language code order (en < de < fr < es by
+    marker-count desc, then alphabetical)."""
+    c = F.lower(F.col(text_col))
+    toks = F.filter(F.split(c, r"[^a-zà-ÿ]+"), lambda x: x != F.lit(""))
+    scores = []
+    for lang, markers in sorted(_STOPWORD_MARKERS.items()):
+        arr = F.array(*[F.lit(w) for w in markers])
+        cnt = F.size(F.filter(toks, lambda x: F.array_contains(arr, x)))
+        scores.append(F.struct(cnt.alias("cnt"),
+                               F.lit(-ord(lang[0])).alias("tie"),
+                               F.lit(lang).alias("lang")))
+    best = F.greatest(*scores) if len(scores) > 1 else scores[0]
+    n_tokens = F.size(toks)
+    return df.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.when(best["cnt"] > 0, best["lang"]).otherwise(F.lit("unknown"))
+         .alias("lang_guess"),
+        F.when(n_tokens > 0, best["cnt"].cast("double") / n_tokens.cast("double"))
+         .otherwise(F.lit(0.0)).alias("lang_score"))
+
+
+def fingerprint_md5(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Normalization fingerprint: md5 of the lowercased, whitespace-collapsed
+    text — catches whitespace/case-only duplicates. → (id, fingerprint)."""
+    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+    return df.select(F.col(id_col).cast("long").alias("id"),
+                     F.md5(norm).alias("fingerprint"))
+
+
+def rolling_hash_fingerprint(df: DataFrame, text_col: str = "text",
+                             id_col: str = "doc_id", window: int = 16,
+                             keep: int = 8) -> DataFrame:
+    """Winnowing-style fingerprint: polynomial rolling hash over character
+    windows, keep the ``keep`` smallest hashes → stable under local edits.
+    Vectorized Arrow UDF. → (id, fingerprints: array<long>)."""
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def fp(texts: pd.Series) -> pd.Series:
+        B, M = 257, (1 << 61) - 1
+
+        def one(t):
+            if not t:
+                return []
+            data = t.lower().encode("utf-8", "ignore")
+            if len(data) < window:
+                data = data + b"\x00" * (window - len(data))
+            h = 0
+            for ch in data[:window]:
+                h = (h * B + ch) % M
+            hashes = [h]
+            pw = pow(B, window - 1, M)
+            for i in range(window, len(data)):
+                h = ((h - data[i - window] * pw) * B + data[i]) % M
+                hashes.append(h)
+            return sorted(set(hashes))[:keep]
+        return texts.map(one)
+
+    return df.select(F.col(id_col).cast("long").alias("id"),
+                     fp(F.col(text_col)).alias("fingerprints"))

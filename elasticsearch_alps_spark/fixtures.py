@@ -1,0 +1,121 @@
+"""Deterministic synthetic test corpus (seed 42) per repo:FIXTURES.md.
+
+Shape mirrors ``BASELINE.json`` ``input_hint``:
+``documents(repo, path, commit, lang, content)`` — a source-code table whose
+term distribution is Zipf-skewed on hot code tokens (``def``, ``import``, ...)
+to exercise skew/salting, with rare unique identifiers for low-df / fuzzy /
+wildcard paths, HTML fragments (html_strip), accents (asciifolding), empty
+rows (P1 filter) and one >100k-char row (P4 truncation,
+``/root/reference/scripts/index/index.py:421-422``).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import random
+from typing import List, Tuple
+
+_LANGS = ["python", "java", "c", "go", "js"]
+_EXT = {"python": "py", "java": "java", "c": "c", "go": "go", "js": "js"}
+
+# weighted pool: hot code tokens are Zipf-frequent
+_HOT = ["def", "import", "return", "self", "if", "for", "in", "the", "value",
+        "result", "data", "config", "parse", "json", "main", "numpy", "np",
+        "class", "print", "error", "file", "open", "read", "write", "list"]
+_MID = ["tokenize", "analyzer", "index", "search", "query", "merge", "shard",
+        "segment", "posting", "score", "frequency", "document", "running",
+        "connection", "relational", "beautiful", "optimization", "café",
+        "naïve", "résumé", "camelCaseToken", "snake_case_token", "HTTPServer"]
+
+
+def _content(i: int, rng: random.Random) -> str:
+    lines: List[str] = []
+    n_lines = 3 + rng.randrange(10)
+    for j in range(n_lines):
+        n_tok = 4 + rng.randrange(8)
+        toks = []
+        for _ in range(n_tok):
+            r = rng.random()
+            if r < 0.55:
+                # Zipf-ish over the hot pool
+                idx = min(int(rng.paretovariate(1.2)) - 1, len(_HOT) - 1)
+                toks.append(_HOT[idx])
+            elif r < 0.85:
+                toks.append(rng.choice(_MID))
+            else:
+                toks.append(f"uniq_{i}_{j}")
+        lines.append(" ".join(toks))
+    body = "\n".join(lines)
+    # sprinkle structured variants
+    if i % 17 == 0:
+        body = f"<b>bold {body}</b> &amp; <script>var x=1;</script> tail"
+    if i % 23 == 0:
+        body += "\ndef main():\n    import numpy as np\n    return np"
+    return body
+
+
+def generate_documents(n: int = 2000, seed: int = 42) -> List[Tuple[str, str, str, str, str]]:
+    """Rows of (repo, path, commit, lang, content)."""
+    rng = random.Random(seed)
+    rows = []
+    for i in range(n):
+        lang = _LANGS[i % len(_LANGS)]
+        repo = f"org{i % 7}/repo{i % 41}"
+        path = f"src/pkg{i % 13}/mod_{i}.{_EXT[lang]}"
+        commit = hashlib.sha1(f"c{i}".encode()).hexdigest()
+        if i % 97 == 0:
+            content = ""  # P1: empty content, must be filtered
+        elif i % 101 == 0:
+            content = "   \n  "  # P1: whitespace-only
+        elif i == 5:
+            # P4: >100k chars → truncation path
+            content = ("import truncation_marker " * 5000) + " tail_after_limit"
+        else:
+            content = _content(i, rng)
+        rows.append((repo, path, commit, lang, content))
+    return rows
+
+
+def documents_df(spark, n: int = 2000, seed: int = 42):
+    """Spark DataFrame of the synthetic corpus."""
+    return spark.createDataFrame(
+        generate_documents(n, seed),
+        schema="repo string, path string, commit string, lang string, content string",
+    )
+
+
+# Reference query set per repo:FIXTURES.md §2 — one string per line, format per
+# /root/reference/scripts/search/search.py:636-668.
+REFERENCE_QUERIES = [
+    "def",
+    "import",
+    "return",
+    "uniq_100_1",
+    "uniq_17_3",
+    "improt",
+    "retrun",
+    "parse json config",
+    "the value of the result",
+    "def main",
+    "import numpy as np",
+    "pars",
+    "Café",
+    "RETURN",
+    "tokeniz",
+    "snake_case_token",
+    "camelCaseToken",
+    "beautiful optimization",
+    "query score frequency",
+    "connection error file",
+    "xyzzy_no_such_term",
+    "segment posting merge shard index",
+    "naïve résumé",
+    "HTTPServer",
+    "self data config value",
+]
+
+
+def write_queries_csv(path: str) -> None:
+    with open(path, "w", encoding="utf-8") as f:
+        for q in REFERENCE_QUERIES:
+            f.write(q + "\n")

@@ -1,0 +1,288 @@
+"""Index build pipeline: documents DataFrame → inverted index on disk.
+
+Spark-first re-expression of the reference's indexing path
+(``/root/reference/scripts/index/index.py:335-536`` + what Lucene does inside
+ES under ``index_config_1.json``): select/filter/truncate → vectorized
+analyzer → explode → groupBy(term, doc) → postings + stats side tables →
+delta+varint packed blocks, all as DataFrame jobs (thread/bulk-queue tuning in
+the reference becomes Spark partitioning).
+
+On-disk layout (one "index" = one directory):
+
+    index_dir/
+      docs/                     doc store (_source analog): doc_id + source cols
+                                + content (truncated) + content_sha256 (original)
+      fields/<field>/postings/  exploded postings: term, doc_id, freq, positions, dl
+                                (range-partitioned + sorted by term → parquet
+                                min/max stats give term-pruning at query time)
+      fields/<field>/term_stats/  term, df, cf
+      fields/<field>/packed/    delta+varint blocks (see indexing/postings.py)
+      stats.json                N, cf_total, avgdl per field + config
+      _lineage/                 per-stage lineage + metrics JSON (resume markers,
+                                analog of the reference's completion files,
+                                stage1_balanced_merge_v2.sh:491-496)
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import time
+from dataclasses import dataclass
+from typing import Iterable, List, Optional, Sequence
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from elasticsearch_alps_spark.analysis.udfs import tokens_with_positions
+from elasticsearch_alps_spark.config import AnalyzerConfig, IndexConfig
+from elasticsearch_alps_spark.indexing.ids import assign_dense_doc_ids
+from elasticsearch_alps_spark.indexing.norms import quantize_length_col
+from elasticsearch_alps_spark.indexing.postings import PACKED_SCHEMA, pack_term_bucket
+
+
+@dataclass
+class IndexPaths:
+    root: str
+
+    @property
+    def docs(self) -> str:
+        return os.path.join(self.root, "docs")
+
+    def field_dir(self, field: str) -> str:
+        return os.path.join(self.root, "fields", field)
+
+    def postings(self, field: str) -> str:
+        return os.path.join(self.field_dir(field), "postings")
+
+    def term_stats(self, field: str) -> str:
+        return os.path.join(self.field_dir(field), "term_stats")
+
+    def packed(self, field: str) -> str:
+        return os.path.join(self.field_dir(field), "packed")
+
+    @property
+    def stats(self) -> str:
+        return os.path.join(self.root, "stats.json")
+
+    @property
+    def lineage_dir(self) -> str:
+        return os.path.join(self.root, "_lineage")
+
+    def read_stats(self) -> dict:
+        with open(self.stats) as f:
+            return json.load(f)
+
+
+def compute_shard_count(raw_size_gb: float) -> int:
+    """Dynamic shard sizing, same arithmetic as the reference
+    (``scripts/index/index.py:107-162``): index ≈ 3× raw, target 30 GB/shard,
+    clamp per-shard size into [10, 50] GB."""
+    index_gb = raw_size_gb * 3.0
+    shards = max(1, round(index_gb / 30.0))
+    while shards > 1 and index_gb / shards < 10.0:
+        shards -= 1
+    while index_gb / shards > 50.0:
+        shards += 1
+    return shards
+
+
+def normalize_documents(df: DataFrame, text_col: str, cfg: IndexConfig,
+                        id_cols: Sequence[str], doc_id_col: Optional[str]) -> DataFrame:
+    """P1 empty-text filter (index.py:395-396), P4 >100k-char truncation
+    (index.py:421-422), sha256 invariant column, dense docID assignment."""
+    c = F.col(text_col)
+    # "contains a non-whitespace char" — matches the reference's pandas
+    # `str.strip() != ''` (Spark's trim() only strips spaces, not \n/\t)
+    out = df.filter(c.isNotNull() & c.rlike(r"\S"))
+    out = out.withColumn("content_sha256", F.sha2(c, 256))
+    limit = cfg.truncate_chars
+    out = out.withColumn(
+        "_content",
+        F.when(F.length(c) > limit,
+               F.concat(F.substring(c, 1, limit), F.lit("... [TRUNCATED]")))
+         .otherwise(c))
+    out = out.drop(text_col).withColumnRenamed("_content", text_col)
+    if doc_id_col:
+        out = out.withColumn("doc_id", F.col(doc_id_col).cast("long"))
+    else:
+        out = assign_dense_doc_ids(out, list(id_cols))
+    return out
+
+
+def _lineage_path(paths: IndexPaths, stage: str) -> str:
+    return os.path.join(paths.lineage_dir, f"{stage}.json")
+
+
+def _write_lineage(paths: IndexPaths, stage: str, payload: dict) -> None:
+    os.makedirs(paths.lineage_dir, exist_ok=True)
+    tmp = _lineage_path(paths, stage) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(payload, f, indent=2, default=str)
+    os.replace(tmp, _lineage_path(paths, stage))
+
+
+def _stage_done(paths: IndexPaths, stage: str, config_key: str) -> bool:
+    p = _lineage_path(paths, stage)
+    if not os.path.exists(p):
+        return False
+    try:
+        with open(p) as f:
+            return json.load(f).get("config_key") == config_key
+    except (json.JSONDecodeError, OSError):
+        return False
+
+
+def _build_field(spark: SparkSession, docs: DataFrame, paths: IndexPaths,
+                 field: str, analyzer: AnalyzerConfig, cfg: IndexConfig,
+                 text_col: str, shards: int, config_key: str,
+                 resume: bool) -> dict:
+    """Build postings + term_stats (+ packed) for one analyzed field."""
+    if resume and _stage_done(paths, f"field_{field}", config_key):
+        with open(_lineage_path(paths, f"field_{field}")) as f:
+            return json.load(f)["stats"]
+
+    t0 = time.time()
+    tok = tokens_with_positions(docs.select("doc_id", text_col), text_col, analyzer)
+    tok = tok.select("doc_id", F.size("tok").alias("doc_len"), F.col("tok"))
+
+    dl = (quantize_length_col(F.col("doc_len")) if cfg.quantize_norms
+          else F.col("doc_len").cast("long"))
+    exploded = (tok.withColumn("dl", dl)
+                   .select("doc_id", "dl", F.explode("tok").alias("e"))
+                   .select("doc_id", "dl",
+                           F.col("e.t").alias("term"), F.col("e.p").alias("pos")))
+    postings = (exploded.groupBy("term", "doc_id")
+                .agg(F.count("*").alias("freq"),
+                     F.sort_array(F.collect_list("pos")).alias("positions"),
+                     F.first("dl").alias("dl")))
+    (postings.repartitionByRange(shards, "term", "doc_id")
+             .sortWithinPartitions("term", "doc_id")
+             .write.mode("overwrite").parquet(paths.postings(field)))
+
+    written = spark.read.parquet(paths.postings(field))
+    (written.groupBy("term")
+            .agg(F.count("*").alias("df"), F.sum("freq").alias("cf"))
+            .repartitionByRange(max(1, shards // 4), "term")
+            .sortWithinPartitions("term")
+            .write.mode("overwrite").parquet(paths.term_stats(field)))
+
+    # collection stats: N counts every indexed doc (even zero-token ones —
+    # Lucene docCount counts docs with the field); avgdl = cf_total / N exact
+    agg = tok.agg(F.count("*").alias("n_docs"),
+                  F.sum("doc_len").alias("cf_total")).collect()[0]
+    n_docs = agg["n_docs"]
+    cf_total = int(agg["cf_total"] or 0)
+    avgdl = cf_total / n_docs if n_docs else 0.0
+    stats = {"n_docs": n_docs, "cf_total": cf_total, "avgdl": avgdl,
+             "analyzer": analyzer.name()}
+
+    if cfg.build_packed:
+        _build_packed(spark, written, paths, field, cfg, avgdl, n_docs)
+
+    # per-partition metrics alongside the shards (north_star lineage)
+    part_metrics = [
+        {"file": f, "bytes": os.path.getsize(os.path.join(paths.postings(field), f))}
+        for f in sorted(os.listdir(paths.postings(field))) if f.endswith(".parquet")
+    ]
+    _write_lineage(paths, f"field_{field}", {
+        "config_key": config_key, "stats": stats, "shards": shards,
+        "elapsed_sec": round(time.time() - t0, 3), "partitions": part_metrics,
+    })
+    return stats
+
+
+def _build_packed(spark: SparkSession, postings: DataFrame, paths: IndexPaths,
+                  field: str, cfg: IndexConfig, avgdl: float, n_docs: int) -> None:
+    """Pack exploded postings into delta+varint blocks, bucketed by doc range
+    (bucket = doc_id // bucket_docs) — explicit skew salting: a hot term's
+    postings split across buckets, bounding every applyInPandas group."""
+    parallelism = spark.sparkContext.defaultParallelism
+    bucket_docs = max(cfg.block_size, math.ceil(max(1, n_docs) / max(1, 2 * parallelism)))
+    k1, b = cfg.bm25.k1, cfg.bm25.b
+    block_size = cfg.block_size
+
+    def pack_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id")
+        rows = pack_term_bucket(
+            pdf["term"].iloc[0], int(pdf["bucket"].iloc[0]),
+            pdf["doc_id"].to_numpy(), pdf["freq"].to_numpy(),
+            pdf["dl"].to_numpy(), list(pdf["positions"]),
+            block_size, k1, b, avgdl)
+        return pd.DataFrame(rows, columns=["bucket", "term", "block_id", "n",
+                                           "first_doc", "last_doc", "docs",
+                                           "freqs", "dls", "pos", "max_tf_norm"])
+
+    bucketed = postings.withColumn(
+        "bucket", (F.col("doc_id") / F.lit(bucket_docs)).cast("int"))
+    packed = bucketed.groupBy("bucket", "term").applyInPandas(pack_group, PACKED_SCHEMA)
+    n_buckets = math.ceil(max(1, n_docs) / bucket_docs)
+    (packed.repartition(max(1, min(n_buckets, 2 * parallelism)), "bucket")
+           .sortWithinPartitions("bucket", "term", "block_id")
+           .write.mode("overwrite").parquet(paths.packed(field)))
+    meta = {"bucket_docs": bucket_docs, "n_buckets": n_buckets,
+            "block_size": block_size}
+    with open(os.path.join(paths.field_dir(field), "packed_meta.json"), "w") as f:
+        json.dump(meta, f)
+
+
+def build_index(spark: SparkSession, docs_df: DataFrame, out_dir: str,
+                cfg: Optional[IndexConfig] = None, *,
+                text_col: str = "content",
+                id_cols: Sequence[str] = ("repo", "path", "commit"),
+                doc_id_col: Optional[str] = None,
+                shards: Optional[int] = None,
+                resume: bool = False) -> IndexPaths:
+    """Build a full index (docs store + one or two analyzed fields).
+
+    ``resume=True`` makes the build checkpoint-resumable at stage granularity:
+    stages whose lineage marker exists with a matching config key are skipped
+    (analog of the reference's completion-marker files,
+    ``scripts/merge/stage1_balanced_merge_v2.sh:491-496``).
+    """
+    cfg = cfg or IndexConfig()
+    paths = IndexPaths(out_dir)
+    os.makedirs(out_dir, exist_ok=True)
+    config_key = json.dumps(
+        {"analyzer": cfg.analyzer.name(),
+         "exact": cfg.exact_analyzer.name() if cfg.exact_analyzer else None,
+         "quantize": cfg.quantize_norms, "truncate": cfg.truncate_chars,
+         "block_size": cfg.block_size, "text_col": text_col,
+         "id_cols": list(id_cols), "doc_id_col": doc_id_col},
+        sort_keys=True)
+
+    t0 = time.time()
+    if not (resume and _stage_done(paths, "docs", config_key)):
+        norm = normalize_documents(docs_df, text_col, cfg, id_cols, doc_id_col)
+        (norm.repartitionByRange(
+                shards or spark.sparkContext.defaultParallelism, "doc_id")
+             .sortWithinPartitions("doc_id")
+             .write.mode("overwrite").parquet(paths.docs))
+        _write_lineage(paths, "docs", {"config_key": config_key,
+                                       "elapsed_sec": round(time.time() - t0, 3)})
+    docs = spark.read.parquet(paths.docs)
+
+    n_shards = shards or cfg.number_of_shards or spark.sparkContext.defaultParallelism
+    field_stats = {}
+    field_stats["main"] = _build_field(
+        spark, docs, paths, "main", cfg.analyzer, cfg, text_col,
+        n_shards, config_key, resume)
+    if cfg.exact_analyzer is not None:
+        field_stats["exact"] = _build_field(
+            spark, docs, paths, "exact", cfg.exact_analyzer, cfg, text_col,
+            n_shards, config_key, resume)
+
+    stats = {
+        "fields": field_stats,
+        "config_key": config_key,
+        "bm25": {"k1": cfg.bm25.k1, "b": cfg.bm25.b},
+        "quantize_norms": cfg.quantize_norms,
+        "text_col": text_col,
+        "id_cols": list(id_cols),
+        "built_unix": time.time(),
+        "build_sec": round(time.time() - t0, 3),
+    }
+    with open(paths.stats, "w") as f:
+        json.dump(stats, f, indent=2)
+    return paths

@@ -1,0 +1,123 @@
+"""Packed posting-list format: docID-sorted, delta + varint compressed blocks
+with skip metadata (first/last doc per block) and block-max scores.
+
+This is the north-star's "real index format" (SURVEY.md §2.4 I1, §4.2.1),
+replacing what Lucene does inside ES in the reference. A block holds up to
+``block_size`` (default 128, like Lucene) postings of one term within one
+doc-range bucket:
+
+- ``docs``  : varint(first_doc), then varint(gap) for subsequent docIDs
+- ``freqs`` : varint per posting
+- ``dls``   : varint per posting (quantized doc length — denormalized norms)
+- ``pos``   : per posting varint(count) then varint position deltas
+- ``first_doc``/``last_doc``: the skip pointer — a scan skips a whole block
+  when looking for docIDs beyond ``last_doc``
+- ``max_tf_norm``: max over the block of freq/(freq + k1·(1−b+b·dl/avgdl)) —
+  the block-max metadata driving WAND pruning (upper bound = idf·max_tf_norm)
+
+Doc-range bucketing (``bucket = doc_id // bucket_docs``) serves two purposes:
+(1) hot-term skew — a term with 10^9 postings splits across buckets, bounding
+any single applyInPandas group (explicit salting per SURVEY.md §2.6 J1); and
+(2) distributed WAND — one bucket holds *every* term's postings for its doc
+range, so a per-bucket task can run doc-at-a-time top-k with all query terms.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, List, Tuple
+
+import numpy as np
+
+
+def varint_encode(values: Iterable[int]) -> bytes:
+    out = bytearray()
+    for v in values:
+        v = int(v)
+        while v >= 0x80:
+            out.append((v & 0x7F) | 0x80)
+            v >>= 7
+        out.append(v)
+    return bytes(out)
+
+
+def varint_decode(buf: bytes) -> List[int]:
+    out: List[int] = []
+    v = 0
+    shift = 0
+    for byte in buf:
+        v |= (byte & 0x7F) << shift
+        if byte & 0x80:
+            shift += 7
+        else:
+            out.append(v)
+            v = 0
+            shift = 0
+    return out
+
+
+def pack_block(doc_ids: np.ndarray, freqs: np.ndarray, dls: np.ndarray,
+               positions: List[List[int]], k1: float, b: float,
+               avgdl: float) -> Tuple[bytes, bytes, bytes, bytes, float]:
+    """Pack one docID-sorted block. Returns (docs, freqs, dls, pos, max_tf_norm)."""
+    gaps = np.empty_like(doc_ids)
+    gaps[0] = doc_ids[0]
+    gaps[1:] = np.diff(doc_ids)
+    docs_b = varint_encode(gaps)
+    freqs_b = varint_encode(freqs)
+    dls_b = varint_encode(dls)
+    pos_parts: List[int] = []
+    for plist in positions:
+        pos_parts.append(len(plist))
+        prev = 0
+        for p in plist:
+            pos_parts.append(p - prev)
+            prev = p
+    pos_b = varint_encode(pos_parts)
+    denom = freqs + k1 * (1.0 - b + b * dls.astype(np.float64) / avgdl)
+    max_tf_norm = float(np.max(freqs / denom))
+    return docs_b, freqs_b, dls_b, pos_b, max_tf_norm
+
+
+def unpack_block(docs_b: bytes, freqs_b: bytes, dls_b: bytes,
+                 pos_b: bytes) -> Tuple[np.ndarray, np.ndarray, np.ndarray, List[List[int]]]:
+    gaps = varint_decode(docs_b)
+    doc_ids = np.cumsum(np.asarray(gaps, dtype=np.int64))
+    freqs = np.asarray(varint_decode(freqs_b), dtype=np.int64)
+    dls = np.asarray(varint_decode(dls_b), dtype=np.int64)
+    flat = varint_decode(pos_b)
+    positions: List[List[int]] = []
+    i = 0
+    for _ in range(len(doc_ids)):
+        n = flat[i]
+        i += 1
+        deltas = flat[i:i + n]
+        i += n
+        acc = 0
+        plist = []
+        for d in deltas:
+            acc += d
+            plist.append(acc)
+        positions.append(plist)
+    return doc_ids, freqs, dls, positions
+
+
+PACKED_SCHEMA = (
+    "bucket int, term string, block_id int, n int, first_doc long, last_doc long, "
+    "docs binary, freqs binary, dls binary, pos binary, max_tf_norm double"
+)
+
+
+def pack_term_bucket(term: str, bucket: int, doc_ids: np.ndarray,
+                     freqs: np.ndarray, dls: np.ndarray,
+                     positions: List[List[int]], block_size: int,
+                     k1: float, b: float, avgdl: float) -> List[tuple]:
+    """Pack one (term, bucket) group (already docID-sorted) into block rows."""
+    rows = []
+    for bi, start in enumerate(range(0, len(doc_ids), block_size)):
+        sl = slice(start, start + block_size)
+        d, f, l = doc_ids[sl], freqs[sl], dls[sl]
+        p = positions[start:start + block_size]
+        docs_b, freqs_b, dls_b, pos_b, mtf = pack_block(d, f, l, p, k1, b, avgdl)
+        rows.append((bucket, term, bi, len(d), int(d[0]), int(d[-1]),
+                     docs_b, freqs_b, dls_b, pos_b, mtf))
+    return rows

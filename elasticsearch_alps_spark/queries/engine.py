@@ -1,0 +1,464 @@
+"""BM25 query engine — the reference's six query types, Spark-first.
+
+Each query type of ``/root/reference/scripts/search/search.py:141-418`` becomes
+a small declarative plan over the postings tables:
+
+    scan postings (term IN (...) pushed into parquet; term-sorted layout →
+    file/row-group skipping) → broadcast-join a tiny (term, clause, weight)
+    frame → per-row BM25 contribution (whole-stage-codegen SQL expression) →
+    groupBy(doc_id) partial-agg → top-k (TakeOrderedAndProject)
+
+Scoring is Lucene 8.11 BM25 (ES 7.17 default): no (k1+1) factor,
+idf = ln(1 + (N−df+0.5)/(df+0.5)), dl SmallFloat-quantized, *global* collection
+stats (SURVEY.md §7.0 — equivalent to the reference's fully-merged single
+index / dfs_query_then_fetch; the multi-shard per-shard-stats default of ES is
+a documented divergence). Ties broken by docID asc (Q10).
+"""
+
+from __future__ import annotations
+
+import math
+import time
+from datetime import datetime
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from elasticsearch_alps_spark.analysis.analyzers import (
+    analyze, analyze_positions, fuzzy_auto_distance, is_single_word,
+)
+from elasticsearch_alps_spark.config import ANALYZERS, AnalyzerConfig, IndexConfig, QueryConfig
+from elasticsearch_alps_spark.indexing.builder import IndexPaths
+from elasticsearch_alps_spark.oracle import phrase_freq
+from elasticsearch_alps_spark.queries.highlight import format_snippets
+
+Clause = Tuple[int, str, float]  # (clause_id, term, weight)
+
+
+def _analyzer_from_name(name: str) -> AnalyzerConfig:
+    for cfg in ANALYZERS.values():
+        if cfg.name() == name:
+            return cfg
+    raise ValueError(f"unknown analyzer {name!r} in index stats")
+
+
+class SearchEngine:
+    """Loads an index directory written by ``build_index`` and answers queries.
+
+    ``cache=True`` pins the postings + term_stats DataFrames in memory — the
+    analog of the reference's warmed ES page cache for latency benchmarks.
+    """
+
+    def __init__(self, spark: SparkSession, index_dir: str,
+                 qcfg: Optional[QueryConfig] = None, cache: bool = False):
+        self.spark = spark
+        self.paths = IndexPaths(index_dir)
+        self.qcfg = qcfg or QueryConfig()
+        self.stats = self.paths.read_stats()
+        self.k1 = self.stats["bm25"]["k1"]
+        self.b = self.stats["bm25"]["b"]
+        self._postings: Dict[str, DataFrame] = {}
+        self._term_stats: Dict[str, DataFrame] = {}
+        self._analyzers: Dict[str, AnalyzerConfig] = {}
+        for field, fstats in self.stats["fields"].items():
+            self._postings[field] = spark.read.parquet(self.paths.postings(field))
+            self._term_stats[field] = spark.read.parquet(self.paths.term_stats(field))
+            self._analyzers[field] = _analyzer_from_name(fstats["analyzer"])
+            if cache:
+                self._postings[field] = self._postings[field].cache()
+                self._term_stats[field] = self._term_stats[field].cache()
+        self._docs: Optional[DataFrame] = None
+        self.results: List[dict] = []
+        # unlimited match-count plan of the most recent query (for the
+        # reference's total_hits stat, G3) — set by each query method
+        self._last_total_df: Optional[DataFrame] = None
+
+    # ------------------------------------------------------------------ utils
+
+    @property
+    def docs(self) -> DataFrame:
+        if self._docs is None:
+            self._docs = self.spark.read.parquet(self.paths.docs)
+        return self._docs
+
+    def _fstat(self, field: str) -> Tuple[int, float]:
+        fs = self.stats["fields"][field]
+        return fs["n_docs"], fs["avgdl"]
+
+    def idf(self, field: str, df: int) -> float:
+        n, _ = self._fstat(field)
+        return math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+
+    def _df_lookup(self, field: str, terms: Sequence[str]) -> Dict[str, int]:
+        """df for each query term — one tiny job over the (term-sorted,
+        min/max-pruned) term_stats table."""
+        uniq = list(dict.fromkeys(terms))
+        if not uniq:
+            return {}
+        rows = (self._term_stats[field]
+                .filter(F.col("term").isin(uniq))
+                .select("term", "df").collect())
+        return {r["term"]: r["df"] for r in rows}
+
+    def _tf_norm_col(self, field: str):
+        _, avgdl = self._fstat(field)
+        freq = F.col("freq").cast("double")
+        dl = F.col("dl").cast("double")
+        return freq / (freq + F.lit(self.k1) *
+                       (F.lit(1.0 - self.b) + F.lit(self.b) * dl / F.lit(avgdl)))
+
+    def _empty_hits(self) -> DataFrame:
+        return self.spark.createDataFrame([], "doc_id long, score double")
+
+    def _score_clauses(self, field: str, clauses: List[Clause],
+                       required: int, size: int) -> DataFrame:
+        """Disjunctive scoring: per-doc score = Σ weight·tf_norm over matched
+        clause terms; keep docs matching ≥ ``required`` distinct clauses."""
+        if not clauses:
+            return self._empty_hits()
+        terms = list({t for _, t, _ in clauses})
+        cdf = self.spark.createDataFrame(
+            clauses, "clause_id int, term string, weight double")
+        j = (self._postings[field]
+             .filter(F.col("term").isin(terms))  # pushed into the parquet scan
+             .join(F.broadcast(cdf), "term")
+             .withColumn("s", F.col("weight") * self._tf_norm_col(field)))
+        agg = j.groupBy("doc_id").agg(
+            F.sum("s").alias("score"),
+            F.countDistinct("clause_id").alias("nmatch"))
+        if required > 1:
+            agg = agg.filter(F.col("nmatch") >= required)
+        self._last_total_df = agg
+        return (agg.select("doc_id", "score")
+                   .orderBy(F.desc("score"), F.asc("doc_id")).limit(size))
+
+    # --------------------------------------------------- the six query types
+
+    def match_query(self, text: str, operator: str = "or",
+                    minimum_should_match: Optional[int] = None,
+                    size: Optional[int] = None) -> DataFrame:
+        """Q1/Q2/Q3 (search.py:141-172): analyzed OR/AND match, top `size` by
+        BM25, minimum_should_match as a percentage for OR."""
+        size = size or self.qcfg.size_match
+        terms = analyze(text, self._analyzers["main"])
+        if not terms:
+            return self._empty_hits()
+        mult: Dict[str, int] = {}
+        for t in terms:
+            mult[t] = mult.get(t, 0) + 1
+        dfs = self._df_lookup("main", list(mult))
+        clauses = [(i, t, k * self.idf("main", dfs.get(t, 0)))
+                   for i, (t, k) in enumerate(mult.items())]
+        if operator == "and":
+            required = len(mult)
+        elif minimum_should_match is not None:
+            # ES rounds positive percentages DOWN (Q3), clamped ≥ 1
+            required = max(1, int(math.floor(minimum_should_match / 100.0 * len(mult))))
+        else:
+            required = 1
+        if self.qcfg.use_wand and required == 1:
+            return self._wand("main", clauses, size)
+        return self._score_clauses("main", clauses, required, size)
+
+    def _wand(self, field: str, clauses: List[Clause], size: int) -> DataFrame:
+        """Block-max WAND over the packed blocks (M6) — result-identical to
+        the exhaustive scorer (pruning is lossless; asserted in tests)."""
+        from elasticsearch_alps_spark.queries.wand import wand_topk
+        _, avgdl = self._fstat(field)
+        self._last_total_df = None  # WAND prunes; full count unavailable (G3 note)
+        return wand_topk(self.spark, self.paths.packed(field),
+                         self.paths.field_dir(field), clauses, size,
+                         self.k1, self.b, avgdl)
+
+    def match_phrase_query(self, text: str, slop: int = 0,
+                           size: Optional[int] = None) -> DataFrame:
+        """Q4 (search.py:174-205): all terms present, positions form the phrase
+        (± slop); scored as BM25 with tf = phrase frequency and the summed idf
+        of the phrase terms (Lucene PhraseWeight)."""
+        size = size or self.qcfg.size_match
+        # analyzed positions, stopword gaps preserved (Lucene phrase semantics)
+        tp = analyze_positions(text, self._analyzers["main"])
+        if not tp:
+            return self._empty_hits()
+        terms = [t for t, _ in tp]
+        offsets = [p - tp[0][1] for _, p in tp]
+        if len(terms) == 1:
+            return self.match_query(text, "or", size=size)
+        uniq = list(dict.fromkeys(terms))
+        dfs = self._df_lookup("main", uniq)
+        if any(dfs.get(t, 0) == 0 for t in uniq):
+            return self._empty_hits()
+        # Lucene PhraseWeight sums idf per term occurrence
+        idf_sum = sum(self.idf("main", dfs[t]) for t in terms)
+        cand = (self._postings["main"]
+                .filter(F.col("term").isin(uniq))
+                .groupBy("doc_id")
+                .agg(F.count("*").alias("nmatch"),
+                     F.collect_list(F.struct("term", "positions")).alias("plists"),
+                     F.first("dl").alias("dl"))
+                .filter(F.col("nmatch") == len(uniq)))
+
+        qterms, qslop, qoffsets = list(terms), slop, list(offsets)
+
+        @F.pandas_udf("double")
+        def pfreq(plists: pd.Series) -> pd.Series:
+            def one(lst):
+                pos = {e["term"]: list(e["positions"]) for e in lst}
+                return phrase_freq(qterms, pos, qslop, qoffsets)
+            return plists.map(one)
+
+        scored = (cand.withColumn("freq", pfreq("plists"))
+                      .filter(F.col("freq") > 0.0)
+                      .withColumn("score", F.lit(idf_sum) * self._tf_norm_col("main")))
+        self._last_total_df = scored
+        return (scored.select("doc_id", "score")
+                      .orderBy(F.desc("score"), F.asc("doc_id")).limit(size))
+
+    def term_query_exact(self, text: str, size: Optional[int] = None) -> DataFrame:
+        """Q5 (search.py:207-242): single-word gate; manual lowercase only (the
+        reference does NOT asciifold the query side — quirk, search.py:224);
+        exact-analyzer postings, BM25-scored."""
+        size = size or self.qcfg.size_term
+        if not is_single_word(text) or "exact" not in self._postings:
+            return self._empty_hits()
+        term = text.strip().lower()
+        dfs = self._df_lookup("exact", [term])
+        if not dfs:
+            return self._empty_hits()
+        clauses = [(0, term, self.idf("exact", dfs[term]))]
+        return self._score_clauses("exact", clauses, 1, size)
+
+    def wildcard_query(self, text: str, size: Optional[int] = None) -> DataFrame:
+        """Q6 (search.py:244-279): single-word gate; ``*word*`` over the exact
+        field's term dictionary; ES default constant-score rewrite → score 1.0,
+        docID-ordered."""
+        size = size or self.qcfg.size_wildcard
+        if not is_single_word(text) or "exact" not in self._postings:
+            return self._empty_hits()
+        needle = text.strip().lower()
+        matched = (self._term_stats["exact"]
+                   .filter(F.col("term").contains(needle)).select("term"))
+        all_hits = (self._postings["exact"]
+                    .join(F.broadcast(matched), "term", "left_semi")
+                    .select("doc_id").distinct()
+                    .withColumn("score", F.lit(1.0)))
+        self._last_total_df = all_hits
+        return all_hits.orderBy(F.asc("doc_id")).limit(size)
+
+    def _fuzzy_expand(self, field: str, word: str) -> List[Tuple[str, float]]:
+        """Term-dictionary scan with JVM-side levenshtein; top max_expansions
+        by (boost desc, term asc) like Lucene's TopTermsRewrite queue.
+        boost = 1 − ed/min(len(term), len(word))."""
+        max_d = fuzzy_auto_distance(word)
+        ts = self._term_stats[field]
+        cand = (ts.filter(
+                    (F.length("term") >= len(word) - max_d)
+                    & (F.length("term") <= len(word) + max_d))
+                  .withColumn("ed", F.levenshtein(F.col("term"), F.lit(word)))
+                  .filter(F.col("ed") <= max_d)
+                  .withColumn("boost", F.when(F.col("ed") == 0, F.lit(1.0)).otherwise(
+                      F.lit(1.0) - F.col("ed").cast("double")
+                      / F.least(F.length("term"), F.lit(len(word))).cast("double")))
+                  .orderBy(F.desc("boost"), F.asc("term"))
+                  .limit(self.qcfg.fuzzy_max_expansions)
+                  .select("term", "boost", "df").collect())
+        return [(r["term"], r["boost"], r["df"]) for r in cand]
+
+    def fuzzy_query(self, text: str, size: Optional[int] = None) -> DataFrame:
+        """Q7 (search.py:282-349). Single word: term-level fuzzy (NO analysis of
+        the query value, matching ES), expansions scored boost·BM25 and summed.
+        Multi-word: multi_match fuzziness=AUTO fallback, operator or,
+        minimum_should_match 60%."""
+        size = size or self.qcfg.size_fuzzy
+        if is_single_word(text):
+            word = text.strip()
+            if not word:
+                return self._empty_hits()
+            exp = self._fuzzy_expand("main", word)
+            clauses = [(0, t, boost * self.idf("main", df)) for t, boost, df in exp]
+            return self._score_clauses("main", clauses, 1, size)
+        words = analyze(text, self._analyzers["main"])
+        if not words:
+            return self._empty_hits()
+        uniq = list(dict.fromkeys(words))
+        pct = int(self.qcfg.fuzzy_multiword_minimum_should_match.rstrip("%"))
+        required = max(1, int(math.floor(pct / 100.0 * len(uniq))))
+        clauses: List[Clause] = []
+        for ci, w in enumerate(uniq):
+            for t, boost, df in self._fuzzy_expand("main", w):
+                clauses.append((ci, t, boost * self.idf("main", df)))
+        return self._score_clauses("main", clauses, required, size)
+
+    def bool_must_query(self, text: str, size: Optional[int] = None) -> DataFrame:
+        """Q8 (search.py:352-418): whitespace-split words (NOT analyzed as a
+        whole), each word a match clause; AND limits to bool_must_max_words and
+        requires all; OR uses all words with optional minimum_should_match;
+        single word is duplicated (search.py:358/387)."""
+        size = size or self.qcfg.size_match
+        op = self.qcfg.bool_must_operator.lower()
+        if op == "and":
+            words = text.split()[: self.qcfg.bool_must_max_words]
+            if len(words) < 2:
+                words = [text, text]
+        else:
+            words = text.split()
+            if len(words) < 2:
+                words = [text, text]
+        clause_terms: List[List[str]] = []
+        for w in words:
+            clause_terms.append(analyze(w, self._analyzers["main"]))
+        if op == "and" and any(not ts for ts in clause_terms):
+            return self._empty_hits()  # zero-term must clause matches nothing
+        all_terms = [t for ts in clause_terms for t in ts]
+        dfs = self._df_lookup("main", all_terms)
+        clauses: List[Clause] = []
+        for ci, ts in enumerate(clause_terms):
+            mult: Dict[str, int] = {}
+            for t in ts:
+                mult[t] = mult.get(t, 0) + 1
+            for t, k in mult.items():
+                clauses.append((ci, t, k * self.idf("main", dfs.get(t, 0))))
+        n_clauses = len([ts for ts in clause_terms if ts])
+        if op == "and":
+            required = len(clause_terms)
+        elif self.qcfg.bool_must_minimum_should_match is not None:
+            pct = int(str(self.qcfg.bool_must_minimum_should_match).rstrip("%"))
+            required = max(1, int(math.floor(pct / 100.0 * len(words))))
+        else:
+            required = 1
+        required = min(required, n_clauses) if n_clauses else required
+        return self._score_clauses("main", clauses, required, size)
+
+    # --------------------------------------------- response assembly (Q12/13)
+
+    def _response(self, hits_df: DataFrame, text: str, query_type: str,
+                  fragment_size: int = 150, number_of_fragments: int = 3) -> dict:
+        """Build the reference's per-query result row
+        (search.py:525-555 + 594-614): total_hits capped at 10,000 (ES 7
+        track_total_hits default, G3), max_score, top-5 snippets."""
+        t0 = time.time()
+        rows = hits_df.collect()
+        total = len(rows)
+        if total > 0 and self._last_total_df is not None:
+            # the result was limit()ed — the reference reports the full match
+            # count, capped at 10,000 (ES 7 track_total_hits default, G3)
+            total = self._last_total_df.count()
+        top = rows[:100]
+        # join back to the doc store for _source (J4) — broadcast the k-row side
+        snippets = ""
+        max_score = max((r["score"] for r in rows), default=0) or 0
+        if top:
+            ids = [r["doc_id"] for r in top]
+            src = {d["doc_id"]: d for d in
+                   self.docs.filter(F.col("doc_id").isin(ids)).collect()}
+            text_col = self.stats.get("text_col", "content")
+            hits = [{"doc_id": r["doc_id"], "score": r["score"],
+                     "content": src[r["doc_id"]][text_col] if r["doc_id"] in src
+                     else ""} for r in top]
+            qterms = analyze(text, self._analyzers["main"])
+            snippets = format_snippets(hits, qterms, self._analyzers["main"],
+                                       fragment_size, number_of_fragments)
+        return {
+            "timestamp": datetime.now().isoformat(),
+            "segment_text": text,
+            "query_type": query_type,
+            "query_time_ms": round((time.time() - t0) * 1000, 2),
+            "total_hits": min(total, self.qcfg.track_total_hits),
+            "max_score": max_score,
+            "timed_out": False,
+            "error": None,
+            "top_5_hits": snippets,
+        }
+
+    def run_all_queries(self, segment_text: str) -> List[dict]:
+        """Mirror of search.py:557-634: run every enabled query type, collect
+        result rows with timings."""
+        q = self.qcfg
+        methods = []
+        if q.execute_match_query:
+            for op in q.match_query_operator:
+                name = "match_query" if (op == "or" and len(q.match_query_operator) == 1) \
+                    else f"match_query_{op}"
+                methods.append((name, lambda t, op=op: self.match_query(t, op)))
+        if q.execute_match_phrase_query:
+            for slop in q.match_phrase_slop:
+                name = "match_phrase_query" if slop == 0 \
+                    else f"match_phrase_query_slop_{slop}"
+                methods.append((name, lambda t, s=slop: self.match_phrase_query(t, s)))
+        if q.execute_term_query_exact:
+            methods.append(("term_query_exact", self.term_query_exact))
+        if q.execute_wildcard_query:
+            methods.append(("wildcard_query", self.wildcard_query))
+        if q.execute_fuzzy_query:
+            methods.append(("fuzzy_query", self.fuzzy_query))
+        if q.execute_bool_must_query:
+            methods.append(("bool_must_query", self.bool_must_query))
+
+        out = []
+        for name, fn in methods:
+            t0 = time.time()
+            try:
+                hits = fn(segment_text)
+                frag, nfrag = (200, 5) if name in ("term_query_exact",
+                                                   "wildcard_query") else (150, 3)
+                row = self._response(hits, segment_text, name, frag, nfrag)
+                row["query_time_ms"] = round((time.time() - t0) * 1000, 2)
+            except Exception as e:  # mirror search.py:617-632 error rows
+                row = {"timestamp": datetime.now().isoformat(),
+                       "segment_text": segment_text, "query_type": name,
+                       "query_time_ms": round((time.time() - t0) * 1000, 2),
+                       "total_hits": 0, "max_score": 0, "timed_out": False,
+                       "error": str(e), "top_5_hits": ""}
+            out.append(row)
+            self.results.append(row)
+        return out
+
+    def summary_stats(self) -> dict:
+        """Per-query-type summary (G5, search.py:803-881)."""
+        import statistics
+        by_type: Dict[str, List[dict]] = {}
+        for r in self.results:
+            by_type.setdefault(r["query_type"], []).append(r)
+        stats_by_type = {}
+        for qt, rows in by_type.items():
+            ok = [r for r in rows if r["error"] is None]
+            times = [r["query_time_ms"] for r in ok] or [0]
+            hits = [r["total_hits"] for r in ok] or [0]
+            stats_by_type[qt] = {
+                "total_queries": len(ok),
+                "avg_query_time_ms": round(statistics.mean(times), 2),
+                "median_query_time_ms": round(statistics.median(times), 2),
+                "min_query_time_ms": round(min(times), 2),
+                "max_query_time_ms": round(max(times), 2),
+                "avg_hits": round(statistics.mean(hits), 2),
+                "total_hits": sum(hits),
+                "errors": len(rows) - len(ok),
+            }
+        return {
+            "overview": {
+                "total_queries": len(self.results),
+                "successful_queries": len([r for r in self.results if r["error"] is None]),
+                "failed_queries": len([r for r in self.results if r["error"] is not None]),
+            },
+            "query_type_stats": stats_by_type,
+        }
+
+    # ------------------------------------------------------------- invariant
+
+    def materialize_hits(self, hits_df: DataFrame) -> DataFrame:
+        """Join top-k hits back to the doc store (J4) — broadcast the k-row
+        hit side; carries content + content_sha256 for the per-row invariant."""
+        return self.docs.join(F.broadcast(hits_df), "doc_id", "inner")
+
+    def verify_hits_sha256(self, hits_df: DataFrame, source_df: DataFrame,
+                           id_cols: Sequence[str], text_col: str = "content") -> bool:
+        """BASELINE.json invariant: sha256(content) of every hit equals the
+        source table's (content hashed pre-truncation at index time)."""
+        mat = self.materialize_hits(hits_df)
+        src = source_df.select(
+            *id_cols, F.sha2(F.col(text_col), 256).alias("_src_sha"))
+        joined = mat.join(src, list(id_cols), "inner")
+        bad = joined.filter(F.col("content_sha256") != F.col("_src_sha")).count()
+        missing = mat.count() - joined.count()
+        return bad == 0 and missing == 0

@@ -1,0 +1,87 @@
+"""Highlighting / snippet extraction (Q12/Q13 of SURVEY.md §2.7).
+
+Reproduces what the reference consumes from ES highlights
+(``/root/reference/scripts/search/search.py:158-169`` request,
+``search.py:420-523`` consumption): best fragments of ~``fragment_size`` chars,
+up to ``number_of_fragments`` per hit, matched terms wrapped in
+``<MATCH>``/``</MATCH>``. Runs driver-side over the ≤100 top-k hit texts only
+(never distributed — matches the reference's per-query hit post-processing).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import List
+
+from elasticsearch_alps_spark.analysis.analyzers import analyze
+from elasticsearch_alps_spark.analysis.porter import porter_stem
+from elasticsearch_alps_spark.config import AnalyzerConfig
+
+
+def highlight(text: str, query_terms: List[str], cfg: AnalyzerConfig,
+              fragment_size: int = 150, number_of_fragments: int = 3) -> List[str]:
+    """Return up to N highlighted fragments for one document."""
+    qset = set(query_terms)
+    # locate matching word occurrences by running each surface token through
+    # the same normalization the index terms went through
+    spans = []
+    for m in re.finditer(r"\w+", text):
+        tok = m.group()
+        norm = tok.lower()
+        candidates = {norm}
+        if cfg.english_stemmer:
+            candidates.add(porter_stem(norm))
+        candidates.update(analyze(tok, cfg))
+        if candidates & qset:
+            spans.append((m.start(), m.end()))
+        if len(spans) >= 64:
+            break
+    if not spans:
+        return []
+    frags: List[str] = []
+    used_until = -1
+    for start, end in spans:
+        if len(frags) >= number_of_fragments:
+            break
+        if start <= used_until:
+            continue
+        half = max(0, (fragment_size - (end - start)) // 2)
+        lo = max(0, start - half)
+        hi = min(len(text), end + half)
+        frag = text[lo:hi]
+        # wrap every matching span inside this window
+        out = []
+        cursor = lo
+        for s, e in spans:
+            if s >= lo and e <= hi:
+                out.append(text[cursor:s])
+                out.append("<MATCH>" + text[s:e] + "</MATCH>")
+                cursor = e
+        out.append(text[cursor:hi])
+        frags.append("".join(out))
+        used_until = hi
+    return frags
+
+
+def format_snippets(hits: List[dict], query_terms: List[str], cfg: AnalyzerConfig,
+                    fragment_size: int, number_of_fragments: int,
+                    max_hits: int = 5) -> str:
+    """Format the top-5 snippet block exactly like the reference's
+    ``extract_hit_snippets_fineweb`` (``search.py:455-488``): one line per hit
+    with score, ids and ``|``-joined highlighted fragments."""
+    lines = []
+    for i, hit in enumerate(hits[:max_hits]):
+        frags = highlight(hit.get("content", "") or "", query_terms, cfg,
+                          fragment_size, number_of_fragments)
+        if frags:
+            snippet = " | ".join(frags)
+            src = "HIGHLIGHTED"
+        else:
+            t = hit.get("content", "") or ""
+            snippet = t[:300] + ("..." if len(t) > 300 else "")
+            src = "SOURCE_TEXT"
+        snippet = " ".join(snippet.split())
+        lines.append(
+            f"Hit {i + 1} (Score: {hit['score']:.3f}, "
+            f"Document_ID: {hit['doc_id']}, Type: {src}): {snippet}")
+    return "\n".join(lines)

@@ -1,0 +1,221 @@
+"""Block-max WAND top-k over the packed posting blocks (SURVEY.md §4.2.2).
+
+The reference gets this from Lucene inside ES 7 (block-max WAND kicks in
+because ``search.py`` never overrides ``track_total_hits``). Here it is a
+``mapInPandas`` operator over the packed-blocks table:
+
+- the packed table is bucketed by doc range, so ONE task sees every query
+  term's blocks for its doc range → classic doc-at-a-time WAND runs locally;
+- blocks are decoded lazily: a block whose ``last_doc`` < the pivot target is
+  skipped without varint-decoding (the skip-pointer saving), and the WAND
+  pivot test uses the per-block ``max_tf_norm`` upper bounds;
+- each bucket emits its local top-k; a final TakeOrderedAndProject merges.
+
+Pruning is per-bucket (local threshold), so it prunes less than a single-node
+WAND would — but results are provably identical to the exhaustive scorer
+(asserted in tests), and bucket-level parallelism is what scales on a cluster.
+
+Supports pure-disjunction scoring (required == 1) — the flagship match_query
+path; conjunctive/msm queries use the exhaustive DataFrame scorer.
+"""
+
+from __future__ import annotations
+
+import heapq
+import json
+import os
+from typing import Dict, Iterator, List, Tuple
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from elasticsearch_alps_spark.indexing.postings import varint_decode
+
+_SENTINEL = 1 << 62
+
+
+class _TermIterator:
+    """Cursor over one term's packed blocks within one bucket (docID-sorted)."""
+
+    __slots__ = ("weight", "blocks", "bi", "docs", "tf_norms", "pos", "cur",
+                 "max_ub", "block_ub", "_k1", "_b", "_avgdl")
+
+    def __init__(self, blocks: List[dict], weight: float, k1: float, b: float,
+                 avgdl: float):
+        # blocks: list of dicts with docs/freqs/dls bytes + max_tf_norm,
+        # ordered by (bucket-local) first_doc
+        self.weight = weight
+        self.blocks = blocks
+        self.bi = -1
+        self.docs: np.ndarray = np.empty(0, dtype=np.int64)
+        self.tf_norms: np.ndarray = np.empty(0)
+        self.pos = 0
+        self.cur = _SENTINEL
+        self.max_ub = weight * max(b_["max_tf_norm"] for b_ in blocks)
+        self.block_ub = 0.0
+        self._k1, self._b, self._avgdl = k1, b, avgdl
+        self._next_block()
+
+    def _decode(self, blk: dict) -> None:
+        gaps = varint_decode(blk["docs"])
+        self.docs = np.cumsum(np.asarray(gaps, dtype=np.int64))
+        freqs = np.asarray(varint_decode(blk["freqs"]), dtype=np.float64)
+        dls = np.asarray(varint_decode(blk["dls"]), dtype=np.float64)
+        denom = freqs + self._k1 * (1.0 - self._b + self._b * dls / self._avgdl)
+        self.tf_norms = freqs / denom
+
+    def _next_block(self) -> None:
+        self.bi += 1
+        if self.bi >= len(self.blocks):
+            self.cur = _SENTINEL
+            return
+        blk = self.blocks[self.bi]
+        self._decode(blk)
+        self.pos = 0
+        self.cur = int(self.docs[0])
+        self.block_ub = self.weight * blk["max_tf_norm"]
+
+    def advance(self, target: int) -> None:
+        """Move cursor to the first doc >= target (block skip without decode)."""
+        if self.cur >= target:
+            return
+        # skip whole blocks via the last_doc skip pointer
+        while self.bi < len(self.blocks) and self.blocks[self.bi]["last_doc"] < target:
+            self.bi += 1
+        if self.bi >= len(self.blocks):
+            self.cur = _SENTINEL
+            return
+        blk = self.blocks[self.bi]
+        # decode if we skipped into a new block
+        if len(self.docs) == 0 or int(self.docs[-1]) != blk["last_doc"]:
+            self._decode(blk)
+            self.pos = 0
+            self.block_ub = self.weight * blk["max_tf_norm"]
+        self.pos = int(np.searchsorted(self.docs, target, side="left"))
+        if self.pos >= len(self.docs):
+            self._next_block_from(self.bi + 1)
+        else:
+            self.cur = int(self.docs[self.pos])
+
+    def _next_block_from(self, bi: int) -> None:
+        self.bi = bi - 1
+        self._next_block()
+
+    def next_doc(self) -> None:
+        self.pos += 1
+        if self.pos >= len(self.docs):
+            self._next_block()
+        else:
+            self.cur = int(self.docs[self.pos])
+
+    def score_cur(self) -> float:
+        return self.weight * float(self.tf_norms[self.pos])
+
+
+def _bucket_wand(term_blocks: Dict[str, List[dict]], weights: Dict[str, float],
+                 k: int, k1: float, b: float, avgdl: float) -> List[Tuple[int, float]]:
+    """Classic WAND with block-max bounds over one bucket; returns local top-k."""
+    iters = [_TermIterator(blks, weights[t], k1, b, avgdl)
+             for t, blks in term_blocks.items() if t in weights and blks]
+    iters = [it for it in iters if it.cur != _SENTINEL]
+    heap: List[Tuple[float, int]] = []  # min-heap of (score, -doc_id)
+    theta = 0.0
+    while iters:
+        iters.sort(key=lambda it: it.cur)
+        # find pivot: smallest prefix whose ub sum can beat theta
+        acc = 0.0
+        pivot = -1
+        for i, it in enumerate(iters):
+            acc += it.max_ub
+            # >= not >: an exact-tie score can still win on the docID
+            # tiebreak, so equal-to-theta candidates must be scored
+            if acc >= theta or len(heap) < k:
+                pivot = i
+                break
+        if pivot < 0:
+            break
+        pivot_doc = iters[pivot].cur
+        if pivot_doc == _SENTINEL:
+            break
+        if iters[0].cur == pivot_doc:
+            # block-max refinement: tighter bound from the CURRENT blocks
+            block_acc = 0.0
+            for it in iters:
+                if it.cur > pivot_doc:
+                    break
+                it.advance(pivot_doc)  # ensure current block covers pivot_doc
+            live = [it for it in iters if it.cur != _SENTINEL]
+            for it in live:
+                if it.cur <= pivot_doc:
+                    block_acc += it.block_ub
+            if len(heap) >= k and block_acc < theta:
+                # current blocks can't beat theta: advance past pivot_doc
+                for it in live:
+                    if it.cur == pivot_doc:
+                        it.next_doc()
+                iters = [it for it in live if it.cur != _SENTINEL]
+                continue
+            score = 0.0
+            for it in live:
+                if it.cur == pivot_doc:
+                    score += it.score_cur()
+            for it in live:
+                if it.cur == pivot_doc:
+                    it.next_doc()
+            iters = [it for it in live if it.cur != _SENTINEL]
+            entry = (score, -pivot_doc)
+            if len(heap) < k:
+                heapq.heappush(heap, entry)
+            elif entry > heap[0]:
+                heapq.heapreplace(heap, entry)
+            if len(heap) >= k:
+                theta = heap[0][0]
+        else:
+            # advance all iterators before the pivot up to pivot_doc
+            for it in iters[:pivot]:
+                it.advance(pivot_doc)
+            iters = [it for it in iters if it.cur != _SENTINEL]
+    return [(-nd, s) for s, nd in heap]
+
+
+def wand_topk(spark: SparkSession, packed_path: str, field_dir: str,
+              clauses: List[Tuple[int, str, float]], size: int,
+              k1: float, b: float, avgdl: float) -> DataFrame:
+    """Distributed block-max WAND: per-bucket local top-k via mapInPandas,
+    then a global TakeOrderedAndProject."""
+    weights: Dict[str, float] = {}
+    for _, term, w in clauses:
+        weights[term] = weights.get(term, 0.0) + w
+    terms = list(weights)
+    packed = (spark.read.parquet(packed_path)
+              .filter(F.col("term").isin(terms))
+              .select("bucket", "term", "block_id", "first_doc", "last_doc",
+                      "docs", "freqs", "dls", "max_tf_norm"))
+    # co-locate each bucket's blocks in one task
+    with open(os.path.join(field_dir, "packed_meta.json")) as f:
+        n_buckets = json.load(f)["n_buckets"]
+    packed = packed.repartition(min(n_buckets, 64), "bucket")
+
+    k = size
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        frames = [p for p in batches if len(p)]
+        if not frames:
+            return
+        pdf = pd.concat(frames, ignore_index=True)
+        out_docs: List[int] = []
+        out_scores: List[float] = []
+        for _, bucket_pdf in pdf.groupby("bucket", sort=False):
+            term_blocks: Dict[str, List[dict]] = {}
+            bucket_pdf = bucket_pdf.sort_values(["term", "block_id"])
+            for t, tp in bucket_pdf.groupby("term", sort=False):
+                term_blocks[t] = tp.to_dict("records")
+            for doc_id, score in _bucket_wand(term_blocks, weights, k, k1, b, avgdl):
+                out_docs.append(doc_id)
+                out_scores.append(score)
+        yield pd.DataFrame({"doc_id": pd.Series(out_docs, dtype="int64"),
+                            "score": pd.Series(out_scores, dtype="float64")})
+
+    local = packed.mapInPandas(run, "doc_id long, score double")
+    return local.orderBy(F.desc("score"), F.asc("doc_id")).limit(size)

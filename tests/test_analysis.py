@@ -1,0 +1,160 @@
+"""Unit goldens for the analyzer chain (SURVEY.md §2.3 A1-A11) — no Spark."""
+
+import pytest
+
+from elasticsearch_alps_spark.analysis.analyzers import (
+    analyze, analyze_positions, ascii_fold, code_subtokens, fuzzy_auto_distance,
+    html_strip, is_single_word, tokenize_standard,
+)
+from elasticsearch_alps_spark.analysis.porter import porter_stem
+from elasticsearch_alps_spark.analysis.smallfloat import (
+    byte4_to_int, int_to_byte4, quantize_length,
+)
+from elasticsearch_alps_spark.config import (
+    EXACT_MATCH_ANALYZER, CODE_CONTENT_ANALYZER, SIMPLE_ANALYZER,
+    WEB_CONTENT_ANALYZER,
+)
+
+
+class TestHtmlStrip:
+    def test_tags_removed(self):
+        assert "bold" in html_strip("<b>bold</b>")
+        assert "<b>" not in html_strip("<b>bold</b>")
+
+    def test_script_content_dropped(self):
+        out = html_strip("before <script>var x = evil;</script> after")
+        assert "evil" not in out and "before" in out and "after" in out
+
+    def test_entities_decoded(self):
+        assert "&" in html_strip("a &amp; b")
+        assert "amp" not in html_strip("a &amp; b")
+
+    def test_plain_text_unchanged(self):
+        assert html_strip("no markup here") == "no markup here"
+
+
+class TestAsciiFold:
+    def test_accents(self):
+        assert ascii_fold("café") == "cafe"
+        assert ascii_fold("naïve résumé") == "naive resume"
+
+    def test_ascii_passthrough(self):
+        assert ascii_fold("plain") == "plain"
+
+    def test_unfoldable_kept(self):
+        # CJK has no ASCII decomposition — must NOT be deleted
+        assert ascii_fold("中文") == "中文"
+
+
+class TestTokenizer:
+    def test_snake_case_one_token(self):
+        # UAX#29 ExtendNumLet: '_' joins — Lucene standard tokenizer behavior
+        assert tokenize_standard("snake_case_token") == ["snake_case_token"]
+
+    def test_punctuation_splits(self):
+        assert tokenize_standard("a.b,c;d") == ["a", "b", "c", "d"]
+
+    def test_max_token_length_splits(self):
+        toks = tokenize_standard("x" * 600)
+        assert [len(t) for t in toks] == [255, 255, 90]
+
+
+class TestPorter:
+    # goldens from the published algorithm description
+    @pytest.mark.parametrize("word,stem", [
+        ("caresses", "caress"), ("ponies", "poni"), ("caress", "caress"),
+        ("cats", "cat"), ("feed", "feed"), ("agreed", "agre"),
+        ("plastered", "plaster"), ("bled", "bled"), ("motoring", "motor"),
+        ("sing", "sing"), ("conflated", "conflat"), ("troubled", "troubl"),
+        ("sized", "size"), ("hopping", "hop"), ("tanned", "tan"),
+        ("falling", "fall"), ("hissing", "hiss"), ("fizzed", "fizz"),
+        ("failing", "fail"), ("filing", "file"), ("happy", "happi"),
+        ("sky", "sky"), ("relational", "relat"), ("conditional", "condit"),
+        ("rational", "ration"), ("valenci", "valenc"), ("hesitanci", "hesit"),
+        ("digitizer", "digit"), ("conformabli", "conform"),
+        ("radicalli", "radic"), ("differentli", "differ"), ("vileli", "vile"),
+        ("analogousli", "analog"), ("vietnamization", "vietnam"),
+        ("predication", "predic"), ("operator", "oper"), ("feudalism", "feudal"),
+        ("decisiveness", "decis"), ("hopefulness", "hope"),
+        ("callousness", "callous"), ("formaliti", "formal"),
+        ("sensitiviti", "sensit"), ("sensibiliti", "sensibl"),
+        ("triplicate", "triplic"), ("formative", "form"), ("formalize", "formal"),
+        ("electriciti", "electr"), ("electrical", "electr"),
+        ("hopeful", "hope"), ("goodness", "good"), ("revival", "reviv"),
+        ("allowance", "allow"), ("inference", "infer"), ("airliner", "airlin"),
+        ("gyroscopic", "gyroscop"), ("adjustable", "adjust"),
+        ("defensible", "defens"), ("irritant", "irrit"),
+        ("replacement", "replac"), ("adjustment", "adjust"),
+        ("dependent", "depend"), ("adoption", "adopt"), ("homologou", "homolog"),
+        ("communism", "commun"), ("activate", "activ"), ("angulariti", "angular"),
+        ("homologous", "homolog"), ("effective", "effect"), ("bowdlerize", "bowdler"),
+        ("probate", "probat"), ("rate", "rate"), ("cease", "ceas"),
+        ("controll", "control"), ("roll", "roll"),
+    ])
+    def test_goldens(self, word, stem):
+        assert porter_stem(word) == stem
+
+    def test_short_unchanged(self):
+        assert porter_stem("is") == "is"
+        assert porter_stem("def") == "def"
+
+
+class TestSmallFloat:
+    def test_small_values_exact(self):
+        for i in range(24):
+            assert int_to_byte4(i) == i
+            assert quantize_length(i) == i
+
+    def test_roundtrip_idempotent_and_monotone(self):
+        prev = -1
+        for i in list(range(0, 4096)) + [10**5, 10**6, 2**31 - 1]:
+            q = quantize_length(i)
+            assert q <= i
+            assert quantize_length(q) == q  # idempotent
+            b = int_to_byte4(i)
+            assert 0 <= b <= 255
+            assert b >= prev
+            prev = b
+
+    def test_known_values(self):
+        assert int_to_byte4(40) == 40
+        assert byte4_to_int(40) == 40
+        assert quantize_length(100) == 96   # 100-24=76 → top4(76)=72 → 24+72
+
+
+class TestChain:
+    def test_web_content_analyzer(self):
+        # html_strip + standard + lowercase + asciifolding + stop + porter
+        out = analyze("<b>The RUNNING cafés</b> are beautiful", WEB_CONTENT_ANALYZER)
+        assert out == ["run", "cafe", "beauti"]
+
+    def test_position_gaps_from_stopwords(self):
+        out = analyze_positions("the quick fox", WEB_CONTENT_ANALYZER)
+        # "the" removed at position 0 → gap preserved
+        assert out == [("quick", 1), ("fox", 2)]
+
+    def test_exact_analyzer_no_stop_no_stem(self):
+        out = analyze("The RUNNING cafés", EXACT_MATCH_ANALYZER)
+        assert out == ["the", "running", "cafes"]
+
+    def test_simple_analyzer(self):
+        out = analyze("Hello, World_99! Café", SIMPLE_ANALYZER)
+        assert out == ["hello", "world_99", "caf"]  # é breaks the simple token
+
+    def test_code_split(self):
+        assert code_subtokens("camelCaseToken") == ["camel", "Case", "Token"]
+        assert code_subtokens("snake_case_token") == ["snake", "case", "token"]
+        assert code_subtokens("HTTPServer2") == ["HTTP", "Server", "2"]
+        out = analyze("camelCaseToken", CODE_CONTENT_ANALYZER)
+        assert "camelcasetoken" in out and "camel" in out and "token" in out
+
+    def test_single_word_gate(self):
+        assert is_single_word("hello")
+        assert not is_single_word("hello world")
+        assert not is_single_word("can't")  # two \w+ runs — reference quirk
+
+    def test_fuzzy_auto(self):
+        assert fuzzy_auto_distance("ab") == 0
+        assert fuzzy_auto_distance("abc") == 1
+        assert fuzzy_auto_distance("abcde") == 1
+        assert fuzzy_auto_distance("abcdef") == 2

@@ -1,0 +1,178 @@
+"""Extras: dedup / similarity search / text stats / multimodal plumbing."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from elasticsearch_alps_spark.extras.dedup import (
+    embedding_cosine_pairs, exact_duplicates, minhash_lsh_pairs,
+    ngram_jaccard_pairs, simhash_pairs,
+)
+from elasticsearch_alps_spark.extras.multimodal import (
+    attach_media_metadata, decode_media, frame_sample,
+)
+from elasticsearch_alps_spark.extras.simsearch import brute_force_topk, lsh_topk
+from elasticsearch_alps_spark.extras.textstats import (
+    fingerprint_md5, language_id, rolling_hash_fingerprint, text_stats,
+)
+
+
+@pytest.fixture(scope="module")
+def dup_docs(spark):
+    base = [
+        (0, "the quick brown fox jumps over the lazy dog again and again"),
+        (1, "the quick brown fox jumps over the lazy dog again and again"),  # exact dup of 0
+        (2, "the quick brown fox jumps over the lazy cat again and again"),  # near dup
+        (3, "completely different content about spark inverted indexes"),
+        (4, "THE  QUICK   brown fox jumps over the lazy dog again and again"),  # ws/case dup
+        (5, "unrelated short text"),
+    ]
+    return spark.createDataFrame(base, "doc_id long, text string")
+
+
+class TestDedup:
+    def test_exact(self, dup_docs):
+        rows = exact_duplicates(dup_docs).collect()
+        assert len(rows) == 1
+        assert rows[0]["dup_count"] == 2 and rows[0]["keep_id"] == 0
+
+    def test_fingerprint_catches_ws_case_dup(self, dup_docs):
+        fps = {r["id"]: r["fingerprint"] for r in fingerprint_md5(dup_docs).collect()}
+        assert fps[0] == fps[1] == fps[4]
+        assert fps[0] != fps[3]
+
+    def test_ngram_jaccard(self, dup_docs):
+        pairs = {(r["id_a"], r["id_b"]): r["jaccard"]
+                 for r in ngram_jaccard_pairs(dup_docs, threshold=0.5).collect()}
+        assert pairs[(0, 1)] == 1.0
+        assert (0, 2) in pairs and pairs[(0, 2)] < 1.0
+        assert (0, 3) not in pairs
+
+    def test_minhash_lsh_finds_exact_and_near(self, dup_docs):
+        pairs = {(r["id_a"], r["id_b"]): r["est_jaccard"]
+                 for r in minhash_lsh_pairs(dup_docs, threshold=0.4).collect()}
+        assert pairs.get((0, 1)) == 1.0  # identical signatures
+        assert (0, 2) in pairs           # near dup shares bands
+
+    def test_simhash(self, dup_docs):
+        pairs = {(r["id_a"], r["id_b"]): r["hamming"]
+                 for r in simhash_pairs(dup_docs, max_hamming=10).collect()}
+        assert pairs.get((0, 1)) == 0    # identical text → identical simhash
+        assert (0, 2) in pairs           # near dup → small hamming
+        assert (0, 3) not in pairs or pairs[(0, 3)] > 3
+
+    def test_embedding_cosine(self, spark):
+        emb = spark.createDataFrame(
+            [(0, [1.0, 0.0, 0.0]), (1, [1.0, 0.01, 0.0]),
+             (2, [0.0, 1.0, 0.0]), (3, [-1.0, 0.0, 0.0])],
+            "vec_id long, embedding array<float>")
+        pairs = {(r["id_a"], r["id_b"]): r["cosine"]
+                 for r in embedding_cosine_pairs(emb, threshold=0.95).collect()}
+        assert set(pairs) == {(0, 1)}
+        assert pairs[(0, 1)] > 0.99
+
+
+class TestSimSearch:
+    def test_brute_force_exact(self, spark):
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        qv = emb.filter(F.col("vec_id") == 7).first()["embedding"]
+        top = brute_force_topk(emb, qv, 5).collect()
+        assert top[0]["id"] == 7                      # self is nearest
+        assert abs(top[0]["cosine"] - 1.0) < 1e-9
+        scores = [r["cosine"] for r in top]
+        assert scores == sorted(scores, reverse=True)
+
+    def test_lsh_contains_self_and_high_recall_top1(self, spark):
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        qv = emb.filter(F.col("vec_id") == 7).first()["embedding"]
+        got = [r["id"] for r in lsh_topk(emb, qv, 5).collect()]
+        assert got[0] == 7  # query's own bucket is always probed
+
+    def test_lsh_full_probe_equals_brute(self, spark):
+        """Probing all 2^n_planes buckets must reproduce exact brute force."""
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        qv = emb.filter(F.col("vec_id") == 3).first()["embedding"]
+        brute = [r["id"] for r in brute_force_topk(emb, qv, 10).collect()]
+        full = [r["id"] for r in
+                lsh_topk(emb, qv, 10, n_planes=4, n_probes=16).collect()]
+        assert full == brute
+
+    def test_lsh_recall_vs_brute(self, spark):
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        qv = emb.filter(F.col("vec_id") == 3).first()["embedding"]
+        brute = {r["id"] for r in brute_force_topk(emb, qv, 10).collect()}
+        approx = {r["id"] for r in
+                  lsh_topk(emb, qv, 10, n_planes=4, n_probes=8).collect()}
+        # random embeddings → neighbors are weak; half the buckets probed
+        # should still recover a decent fraction
+        assert len(brute & approx) >= 3
+
+
+class TestTextStats:
+    def test_stats_shape_and_ranges(self, spark):
+        d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        rows = text_stats(d).collect()
+        assert len(rows) == d.count()
+        for r in rows[:50]:
+            assert r["n_tokens"] > 0
+            assert 0.0 <= r["punct_ratio"] <= 1.0
+            assert 0.0 <= r["quality_score"] <= 1.0
+            assert r["n_bpe_tokens"] >= r["n_tokens"] - 1
+
+    def test_language_id(self, spark):
+        d = spark.createDataFrame(
+            [(0, "the cat is in the house and it is warm"),
+             (1, "der Hund ist nicht in der Schule und das ist gut"),
+             (2, "le chat est dans la maison et il est pour toi"),
+             (3, "el gato es en la casa y es por una vez"),
+             (4, "zzz qqq www")],
+            "doc_id long, text string")
+        langs = {r["id"]: r["lang_guess"] for r in language_id(d).collect()}
+        assert langs[0] == "en" and langs[1] == "de"
+        assert langs[2] == "fr" and langs[3] == "es"
+        assert langs[4] == "unknown"
+
+    def test_rolling_hash_stable_under_suffix_edit(self, spark):
+        d = spark.createDataFrame(
+            [(0, "shared prefix body of text that is long enough AAA"),
+             (1, "shared prefix body of text that is long enough BBB")],
+            "doc_id long, text string")
+        fps = {r["id"]: set(r["fingerprints"])
+               for r in rolling_hash_fingerprint(d).collect()}
+        assert len(fps[0] & fps[1]) >= 4  # winnowing keeps shared-window hashes
+
+
+class TestMultimodal:
+    @pytest.fixture(scope="class")
+    def media(self, spark):
+        return spark.createDataFrame(
+            [(1, "image", bytes([0x89, 0x50, 0x4E, 0x47]) + b"png-ish"),
+             (2, "video", b"RIFF1234vid"),
+             (3, "audio", b"RIFFWAVEfmt "),
+             (4, "image", bytes([0xFF, 0xD8, 0xFF]) + b"jpeg-ish")],
+            "media_id long, kind string, payload binary")
+
+    def test_metadata_sniffing(self, media):
+        rows = {r["media_id"]: r for r in attach_media_metadata(media).collect()}
+        assert rows[1]["mime"] == "image/png"
+        assert rows[4]["mime"] == "image/jpeg"
+        assert rows[1]["n_bytes"] == 11
+
+    def test_fake_decode_schema_and_determinism(self, media):
+        a = {r["media_id"]: r for r in decode_media(media, fake=True).collect()}
+        b = {r["media_id"]: r for r in decode_media(media, fake=True).collect()}
+        for mid in a:
+            assert a[mid]["width"] == b[mid]["width"]
+            assert list(a[mid]["feature"]) == list(b[mid]["feature"])
+            assert len(a[mid]["feature"]) == 16
+        assert a[1]["n_frames"] == 1 and a[2]["n_frames"] > 1
+
+    def test_real_decode_raises(self, media):
+        with pytest.raises(Exception) as ei:
+            decode_media(media, fake=False).collect()
+        assert "NotImplementedError" in str(ei.value) or "codecs" in str(ei.value)
+
+    def test_frame_sample(self, media):
+        dec = decode_media(media, fake=True)
+        fs = frame_sample(dec, every_n=8).collect()
+        assert all(r["frame_idx"] % 8 == 0 for r in fs)
+        assert {r["media_id"] for r in fs} <= {2, 3}

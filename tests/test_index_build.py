@@ -1,0 +1,113 @@
+"""Index-build correctness: stats parity with the oracle, docID determinism,
+SmallFloat Catalyst expression parity, sha256 invariant, resume markers."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from elasticsearch_alps_spark.analysis.smallfloat import quantize_length
+from elasticsearch_alps_spark.config import IndexConfig
+from elasticsearch_alps_spark.indexing.builder import build_index, compute_shard_count
+from elasticsearch_alps_spark.indexing.norms import quantize_length_col
+
+
+def test_norms_expression_matches_python(spark):
+    vals = list(range(0, 2048)) + [10_000, 123_456, 10**7, 2**31 - 1]
+    df = spark.createDataFrame([(v,) for v in vals], "doc_len int")
+    rows = df.withColumn("q", quantize_length_col(F.col("doc_len"))).collect()
+    for r in rows:
+        assert r["q"] == quantize_length(r["doc_len"]), r["doc_len"]
+
+
+def test_shard_count_heuristic():
+    # index.py:107-162 arithmetic: 3× expansion, 30 GB target, [10, 50] clamp
+    assert compute_shard_count(0.001) == 1
+    assert compute_shard_count(10) == 1       # 30 GB index → 1 shard of 30
+    assert compute_shard_count(100) == 10     # 300 GB → 10 × 30
+    for raw_gb in (20, 50, 130, 400, 1000):
+        n = compute_shard_count(raw_gb)
+        per_shard = raw_gb * 3.0 / n
+        assert 10.0 <= per_shard <= 50.0, (raw_gb, n, per_shard)
+
+
+def test_collection_stats_match_oracle(built_index, oracle_index):
+    stats = built_index.read_stats()
+    assert stats["fields"]["main"]["n_docs"] == oracle_index.main.n_docs
+    assert stats["fields"]["main"]["cf_total"] == oracle_index.main.cf_total
+    assert stats["fields"]["main"]["avgdl"] == pytest.approx(
+        oracle_index.main.avgdl, rel=1e-12)
+    assert stats["fields"]["exact"]["n_docs"] == oracle_index.exact.n_docs
+    assert stats["fields"]["exact"]["cf_total"] == oracle_index.exact.cf_total
+
+
+def test_term_stats_match_oracle(spark, built_index, oracle_index):
+    ts = {r["term"]: (r["df"], r["cf"]) for r in
+          spark.read.parquet(built_index.term_stats("main")).collect()}
+    assert set(ts) == set(oracle_index.main.postings)
+    for term, posting in oracle_index.main.postings.items():
+        df = len(posting)
+        cf = sum(len(p) for p in posting.values())
+        assert ts[term] == (df, cf), term
+
+
+def test_postings_positions_and_dl(spark, built_index, oracle_index):
+    sample_terms = list(oracle_index.main.postings)[:25]
+    rows = (spark.read.parquet(built_index.postings("main"))
+            .filter(F.col("term").isin(sample_terms)).collect())
+    by_key = {(r["term"], r["doc_id"]): r for r in rows}
+    for term in sample_terms:
+        for doc_id, positions in oracle_index.main.postings[term].items():
+            r = by_key[(term, doc_id)]
+            assert list(r["positions"]) == sorted(positions)
+            assert r["freq"] == len(positions)
+            assert r["dl"] == quantize_length(oracle_index.main.doc_len[doc_id])
+
+
+def test_doc_ids_dense_and_deterministic(spark, built_index, corpus_df, tmp_path):
+    docs = spark.read.parquet(built_index.docs)
+    n = docs.count()
+    ids = [r["doc_id"] for r in docs.select("doc_id").collect()]
+    assert sorted(ids) == list(range(n))  # dense 0..N-1
+    # rebuild → identical assignment (determinism, SURVEY.md §7.0)
+    out2 = build_index(spark, corpus_df, str(tmp_path / "idx2"),
+                       IndexConfig(build_packed=False), shards=2)
+    a = {(r["repo"], r["path"], r["commit"]): r["doc_id"]
+         for r in docs.select("repo", "path", "commit", "doc_id").collect()}
+    b = {(r["repo"], r["path"], r["commit"]): r["doc_id"]
+         for r in spark.read.parquet(out2.docs)
+         .select("repo", "path", "commit", "doc_id").collect()}
+    assert a == b
+
+
+def test_empty_and_truncated_docs(spark, built_index, corpus):
+    docs = spark.read.parquet(built_index.docs)
+    # P1: empty/whitespace-only rows are not indexed
+    n_nonempty = sum(1 for r in corpus if r[4] and r[4].strip())
+    assert docs.count() == n_nonempty
+    # P4: the >100k doc is stored truncated with the marker suffix
+    big = docs.filter(F.col("path") == "src/pkg5/mod_5.py").collect()
+    assert len(big) == 1
+    assert big[0]["content"].endswith("... [TRUNCATED]")
+    assert len(big[0]["content"]) == 100_000 + len("... [TRUNCATED]")
+
+
+def test_sha256_invariant_column(spark, built_index, corpus_df):
+    """content_sha256 equals sha256 of the ORIGINAL (pre-truncation) source."""
+    docs = spark.read.parquet(built_index.docs)
+    src = corpus_df.select("repo", "path", "commit",
+                           F.sha2("content", 256).alias("src_sha"))
+    joined = docs.join(src, ["repo", "path", "commit"])
+    assert joined.filter(F.col("content_sha256") != F.col("src_sha")).count() == 0
+    assert joined.count() == docs.count()
+
+
+def test_resume_skips_built_stages(spark, corpus_df, tmp_path):
+    out = str(tmp_path / "idx_resume")
+    cfg = IndexConfig(build_packed=False)
+    p1 = build_index(spark, corpus_df, out, cfg, shards=2)
+    mtime = os.path.getmtime(os.path.join(p1.lineage_dir, "field_main.json"))
+    p2 = build_index(spark, corpus_df, out, cfg, shards=2, resume=True)
+    # lineage marker untouched → stage skipped
+    assert os.path.getmtime(os.path.join(p2.lineage_dir, "field_main.json")) == mtime
+    assert p2.read_stats()["fields"]["main"]["n_docs"] > 0

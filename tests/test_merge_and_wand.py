@@ -1,0 +1,100 @@
+"""M5 merge (merge == rebuild property) and M6 WAND (pruning losslessness)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from elasticsearch_alps_spark.config import IndexConfig, QueryConfig
+from elasticsearch_alps_spark.fixtures import generate_documents
+from elasticsearch_alps_spark.indexing.builder import build_index
+from elasticsearch_alps_spark.merging.merger import merge_indexes
+from elasticsearch_alps_spark.queries.engine import SearchEngine
+
+
+@pytest.fixture(scope="module")
+def split_indexes(spark, tmp_path_factory):
+    """build(A), build(B), build(A∪B) with A = first half in docID order."""
+    rows = sorted(generate_documents(200, seed=7), key=lambda r: (r[0], r[1], r[2]))
+    half = len(rows) // 2
+    schema = "repo string, path string, commit string, lang string, content string"
+    cfg = IndexConfig()
+    base = tmp_path_factory.mktemp("merge")
+    pa = build_index(spark, spark.createDataFrame(rows[:half], schema),
+                     str(base / "a"), cfg, shards=2)
+    pb = build_index(spark, spark.createDataFrame(rows[half:], schema),
+                     str(base / "b"), cfg, shards=2)
+    pall = build_index(spark, spark.createDataFrame(rows, schema),
+                       str(base / "all"), cfg, shards=2)
+    merged = merge_indexes(spark, [pa.root, pb.root], str(base / "merged"),
+                           cfg, shards=2)
+    return merged, pall
+
+
+def _postings_set(spark, path):
+    return {(r["term"], r["doc_id"], r["freq"], tuple(r["positions"]), r["dl"])
+            for r in spark.read.parquet(path).collect()}
+
+
+def test_merge_equals_rebuild_postings(spark, split_indexes):
+    merged, pall = split_indexes
+    for field in ("main", "exact"):
+        assert _postings_set(spark, merged.postings(field)) == \
+            _postings_set(spark, pall.postings(field))
+
+
+def test_merge_equals_rebuild_stats(split_indexes):
+    merged, pall = split_indexes
+    ms, ps = merged.read_stats(), pall.read_stats()
+    for field in ("main", "exact"):
+        assert ms["fields"][field]["n_docs"] == ps["fields"][field]["n_docs"]
+        assert ms["fields"][field]["cf_total"] == ps["fields"][field]["cf_total"]
+        assert ms["fields"][field]["avgdl"] == pytest.approx(
+            ps["fields"][field]["avgdl"], rel=1e-12)
+
+
+def test_merged_index_queries_identical(spark, split_indexes):
+    merged, pall = split_indexes
+    em = SearchEngine(spark, merged.root)
+    ea = SearchEngine(spark, pall.root)
+    for q in ("def", "parse json config", "import numpy as np"):
+        got = [(r["doc_id"], r["score"]) for r in em.match_query(q).collect()]
+        want = [(r["doc_id"], r["score"]) for r in ea.match_query(q).collect()]
+        assert [d for d, _ in got] == [d for d, _ in want]
+        for (gd, gs), (_, ws) in zip(got, want):
+            assert gs == pytest.approx(ws, rel=1e-9), (q, gd)
+
+
+def test_merge_resume_marker(spark, split_indexes, tmp_path):
+    merged, _ = split_indexes
+    # re-merging with resume=True is a no-op (marker exists)
+    import os
+    marker = os.path.join(merged.lineage_dir, "merge.json")
+    mtime = os.path.getmtime(marker)
+    merge_indexes(spark, ["unused"], merged.root, resume=True)
+    assert os.path.getmtime(marker) == mtime
+
+
+WAND_QUERIES = ["def", "import", "parse json config", "def main",
+                "the value of the result", "beautiful optimization",
+                "segment posting merge shard index", "uniq_100_1"]
+
+
+@pytest.mark.parametrize("q", WAND_QUERIES)
+def test_wand_identical_to_exhaustive(spark, built_index, q):
+    """Block-max WAND pruning must be lossless (SURVEY.md §7.1 M6)."""
+    exhaustive = SearchEngine(spark, built_index.root, QueryConfig(use_wand=False))
+    wand = SearchEngine(spark, built_index.root, QueryConfig(use_wand=True))
+    want = [(r["doc_id"], r["score"]) for r in exhaustive.match_query(q).collect()]
+    got = [(r["doc_id"], r["score"]) for r in wand.match_query(q).collect()]
+    assert [d for d, _ in got] == [d for d, _ in want], q
+    for (gd, gs), (_, ws) in zip(got, want):
+        assert gs == pytest.approx(ws, rel=1e-9), (q, gd)
+
+
+def test_wand_small_k_prunes_consistently(spark, built_index):
+    exhaustive = SearchEngine(spark, built_index.root, QueryConfig(use_wand=False))
+    wand = SearchEngine(spark, built_index.root, QueryConfig(use_wand=True))
+    for k in (1, 5, 10):
+        want = [r["doc_id"] for r in
+                exhaustive.match_query("def", size=k).collect()]
+        got = [r["doc_id"] for r in wand.match_query("def", size=k).collect()]
+        assert got == want, k

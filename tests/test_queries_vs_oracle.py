@@ -1,0 +1,153 @@
+"""End-to-end golden queries: the Spark engine must be rank-identical to the
+pure-Python Lucene-faithful oracle, with scores equal to ~1e-9 relative
+(SURVEY.md §5 item 2, repo:FIXTURES.md §4)."""
+
+import pytest
+
+from elasticsearch_alps_spark.config import QueryConfig
+from elasticsearch_alps_spark.queries.engine import SearchEngine
+
+QUERIES = [
+    "def",                      # hot single term
+    "import",                   # hot single term
+    "uniq_100_1",               # rare unique term
+    "improt",                   # typo → fuzzy
+    "parse json config",        # multi-word OR
+    "def main",                 # phrase / AND
+    "import numpy as np",       # phrase with stopword gap
+    "the value of the result",  # stopword-heavy
+    "Café",                     # folding
+    "RETURN",                   # case (+ fuzzy no-analysis quirk)
+    "pars",                     # wildcard stem
+    "xyzzy_no_such_term",       # no hits
+    "beautiful optimization",   # stemmed multi-word
+]
+
+
+@pytest.fixture(scope="module")
+def engine(spark, built_index):
+    return SearchEngine(spark, built_index.root, QueryConfig(), cache=True)
+
+
+def assert_hits_equal(spark_df, oracle_hits, what):
+    got = [(r["doc_id"], r["score"]) for r in spark_df.collect()]
+    assert [d for d, _ in got] == [d for d, _ in oracle_hits], \
+        f"{what}: docID ranking mismatch\n got={got[:10]}\n want={oracle_hits[:10]}"
+    for (gd, gs), (od, os_) in zip(got, oracle_hits):
+        assert gs == pytest.approx(os_, rel=1e-9, abs=1e-12), \
+            f"{what}: score mismatch doc {gd}: {gs} vs {os_}"
+
+
+@pytest.mark.parametrize("q", QUERIES)
+def test_match_query_or(engine, oracle_index, q):
+    assert_hits_equal(engine.match_query(q, "or"),
+                      oracle_index.match_query(q, "or"), f"match_or[{q}]")
+
+
+@pytest.mark.parametrize("q", ["def main", "parse json config",
+                               "import numpy as np", "beautiful optimization",
+                               "segment posting merge shard index"])
+def test_match_query_and(engine, oracle_index, q):
+    assert_hits_equal(engine.match_query(q, "and"),
+                      oracle_index.match_query(q, "and"), f"match_and[{q}]")
+
+
+@pytest.mark.parametrize("q,pct", [("parse json config", 50),
+                                   ("segment posting merge shard index", 60),
+                                   ("query score frequency", 100)])
+def test_minimum_should_match(engine, oracle_index, q, pct):
+    assert_hits_equal(engine.match_query(q, "or", minimum_should_match=pct),
+                      oracle_index.match_query_msm(q, pct), f"msm[{q},{pct}]")
+
+
+@pytest.mark.parametrize("q", ["def main", "import numpy as np",
+                               "parse json config", "query score frequency"])
+@pytest.mark.parametrize("slop", [0, 1, 2])
+def test_match_phrase(engine, oracle_index, q, slop):
+    assert_hits_equal(engine.match_phrase_query(q, slop),
+                      oracle_index.match_phrase_query(q, slop),
+                      f"phrase[{q},slop={slop}]")
+
+
+@pytest.mark.parametrize("q", ["def", "import", "Café", "RETURN",
+                               "uniq_100_1", "hello world", "running"])
+def test_term_query_exact(engine, oracle_index, q):
+    assert_hits_equal(engine.term_query_exact(q),
+                      oracle_index.term_query_exact(q), f"term[{q}]")
+
+
+@pytest.mark.parametrize("q", ["pars", "def", "uniq", "zzz", "two words"])
+def test_wildcard_query(engine, oracle_index, q):
+    assert_hits_equal(engine.wildcard_query(q),
+                      oracle_index.wildcard_query(q), f"wildcard[{q}]")
+
+
+@pytest.mark.parametrize("q", ["improt", "retrun", "def", "RETURN",
+                               "tokeniz", "parse json confg"])
+def test_fuzzy_query(engine, oracle_index, q):
+    assert_hits_equal(engine.fuzzy_query(q),
+                      oracle_index.fuzzy_query(q), f"fuzzy[{q}]")
+
+
+@pytest.mark.parametrize("q", ["def main", "parse json config value",
+                               "single", "the of"])
+def test_bool_must_query_and(engine, oracle_index, q):
+    assert_hits_equal(engine.bool_must_query(q),
+                      oracle_index.bool_must_query(q, "and", 3),
+                      f"bool_and[{q}]")
+
+
+def test_bool_should_with_msm(spark, built_index, oracle_index):
+    qcfg = QueryConfig(bool_must_operator="or",
+                       bool_must_minimum_should_match="50%")
+    eng = SearchEngine(spark, built_index.root, qcfg)
+    q = "parse json config value error"
+    assert_hits_equal(eng.bool_must_query(q),
+                      oracle_index.bool_must_query(q, "or", 3, "50%"),
+                      f"bool_or_msm[{q}]")
+
+
+def test_phrase_respects_stopword_gaps(engine, oracle_index, corpus, doc_id_map):
+    """Lucene phrase semantics: 'import numpy as np' — the removed stopword
+    'as' leaves a position gap, so docs containing the literal string must
+    match (np expected at +3, not +2)."""
+    literal_docs = {doc_id_map[(r[0], r[1], r[2])] for r in corpus
+                    if "import numpy as np" in r[4]
+                    and (r[0], r[1], r[2]) in doc_id_map}
+    assert literal_docs, "fixture must contain the literal phrase"
+    got = {r["doc_id"] for r in
+           engine.match_phrase_query("import numpy as np", 0, size=10_000).collect()}
+    assert literal_docs <= got
+    want = {d for d, _ in
+            oracle_index.match_phrase_query("import numpy as np", 0, size=10_000)}
+    assert got == want
+
+
+def test_subset_invariants(engine, oracle_index):
+    """AND hits ⊆ OR hits; phrase hits ⊆ AND hits (SURVEY.md §5 item 3)."""
+    q = "def main"
+    or_ids = {r["doc_id"] for r in engine.match_query(q, "or", size=10_000).collect()}
+    and_ids = {r["doc_id"] for r in engine.match_query(q, "and", size=10_000).collect()}
+    ph_ids = {r["doc_id"] for r in engine.match_phrase_query(q, 0, size=10_000).collect()}
+    assert and_ids <= or_ids
+    assert ph_ids <= and_ids
+
+
+def test_run_all_queries_and_summary(engine):
+    rows = engine.run_all_queries("def main")
+    types = {r["query_type"] for r in rows}
+    # defaults: match, phrase, fuzzy enabled (search.py:37-49)
+    assert types == {"match_query", "match_phrase_query", "fuzzy_query"}
+    assert all(r["error"] is None for r in rows)
+    match_row = next(r for r in rows if r["query_type"] == "match_query")
+    assert match_row["total_hits"] > 0
+    assert "<MATCH>" in match_row["top_5_hits"]
+    summary = engine.summary_stats()
+    assert summary["overview"]["failed_queries"] == 0
+    assert summary["query_type_stats"]["match_query"]["total_queries"] == 1
+
+
+def test_sha256_invariant_on_hits(engine, corpus_df):
+    hits = engine.match_query("def", "or")
+    assert engine.verify_hits_sha256(hits, corpus_df,
+                                     ["repo", "path", "commit"], "content")

@@ -59,8 +59,10 @@ def _index_paths(spark: SparkSession, sf_dir: str) -> IndexPaths:
 
 
 def _engine(spark: SparkSession, sf_dir: str, **qkw) -> SearchEngine:
+    # fused_stats=False: idf must be computed by glibc ln() (driver-side
+    # Python) so DuckDB's ln() reproduces it bit-for-bit (see module doc)
     return SearchEngine(spark, _index_paths(spark, sf_dir).root,
-                        QueryConfig(**qkw))
+                        QueryConfig(fused_stats=False, **qkw))
 
 
 _BIG = 1_000_000  # fetch all matches, then re-rank by rounded score
@@ -181,6 +183,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _engine(s, sf).match_phrase_query("table value", 0, size=_BIG), 50)
     q["ft_match_phrase3"] = lambda s, sf: _topk(
         _engine(s, sf).match_phrase_query("batch window spark", 0, size=_BIG), 50)
+    q["ft_phrase_slop1"] = lambda s, sf: _topk(
+        _engine(s, sf).match_phrase_query("table value", 1, size=_BIG), 50)
+    q["ft_match_all"] = lambda s, sf: (
+        _engine(s, sf).match_all(1)
+        .select(F.col("doc_id").cast("long").alias("doc_id"), "score"))
     q["ft_term_exact"] = lambda s, sf: _topk(
         _engine(s, sf).term_query_exact("spark", size=_BIG), 100)
     q["ft_wildcard"] = lambda s, sf: _topk(
@@ -328,6 +335,33 @@ def oracle_sql() -> dict[str, str]:
     o["ft_match_phrase"] = _sql_phrase(["table", "value"], 50)
     o["ft_match_phrase3"] = _sql_phrase(["batch", "window", "spark"], 50)
     o["ft_term_exact"] = _sql_match(["spark"], 1, 100)
+    # sloppy phrase, 2 terms, slop 1: per anchor of t0, best displacement of
+    # t1 from (anchor+1) within ±1; freq += 1/(1+d) (engine/oracle semantics)
+    o["ft_phrase_slop1"] = f"""{_PRELUDE},
+anchors AS (
+  SELECT a.doc_id, a.pos, min(abs(b.pos - (a.pos + 1))) AS d
+  FROM tok a JOIN tok b
+    ON b.doc_id = a.doc_id AND b.term = 'value'
+   AND abs(b.pos - (a.pos + 1)) <= 1
+  WHERE a.term = 'table'
+  GROUP BY a.doc_id, a.pos
+),
+pf AS (SELECT doc_id, sum(1.0 / (1.0 + d))::DOUBLE AS freq
+       FROM anchors GROUP BY doc_id)
+SELECT pf.doc_id,
+       ROUND(((SELECT ln(1.0 + (cs.n - df + 0.5) / (df + 0.5))
+               FROM tstat, cs WHERE term = 'table')
+            + (SELECT ln(1.0 + (cs.n - df + 0.5) / (df + 0.5))
+               FROM tstat, cs WHERE term = 'value')) *
+             (pf.freq / (pf.freq + 1.2 * (0.25 + 0.75 * dl.dl / cs.avgdl))), 6)
+         AS score
+FROM pf JOIN dl USING (doc_id) CROSS JOIN cs
+WHERE pf.freq > 0
+ORDER BY 2 DESC, 1 ASC LIMIT 50"""
+    o["ft_match_all"] = """
+SELECT doc_id::BIGINT AS doc_id, 1.0::DOUBLE AS score FROM documents
+WHERE text IS NOT NULL AND regexp_matches(text, '\\S')
+ORDER BY doc_id LIMIT 1"""
     o["ft_wildcard"] = f"""{_PRELUDE}
 SELECT DISTINCT doc_id, 1.0::DOUBLE AS score FROM post
 WHERE contains(term, 'ind')

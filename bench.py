@@ -32,12 +32,14 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    n_docs = int(os.environ.get("ALPS_BENCH_DOCS", "20000"))
+    n_docs = int(os.environ.get("ALPS_BENCH_DOCS", "60000"))
     sf = os.path.basename(os.path.normpath(sf_dir)).replace("sf", "")
 
     from pyspark.sql import SparkSession
     from elasticsearch_alps_spark.config import IndexConfig, QueryConfig
-    from elasticsearch_alps_spark.fixtures import documents_df, REFERENCE_QUERIES
+    from elasticsearch_alps_spark.fixtures import (
+        documents_df_distributed, REFERENCE_QUERIES,
+    )
     from elasticsearch_alps_spark.indexing.builder import build_index
     from elasticsearch_alps_spark.queries.engine import SearchEngine
     from elasticsearch_alps_spark.session import ship_package
@@ -59,14 +61,26 @@ def main() -> None:
     t_total0 = time.time()
     try:
         # ---- indexing throughput ----
-        docs = documents_df(spark, n_docs, seed=42)
+        # corpus generated ON the executors (scales with cores) and
+        # materialized to parquet first so generation isn't timed as indexing
+        src = os.path.join(out, "src_docs")
+        documents_df_distributed(spark, n_docs, seed=42).write.parquet(src)
+        docs = spark.read.parquet(src)
+        # identical job at every parallelism level: the shard/partition count
+        # is FIXED (a real cluster keeps its layout when executors scale);
+        # only the executor thread count varies between scaling legs
+        shards = int(os.environ.get("ALPS_BENCH_SHARDS", "32"))
         t0 = time.time()
-        paths = build_index(spark, docs, out, IndexConfig(), shards=cpus)
+        paths = build_index(spark, docs, out, IndexConfig(), shards=shards)
         t_index = time.time() - t0
         indexed = paths.read_stats()["fields"]["main"]["n_docs"]
         queries["index_build"] = round(t_index, 3)
 
         # ---- query latency (reference set; search.py default types) ----
+        # interactive serving over a term-pruned scan wants few shuffle
+        # partitions — per-query aggregation state is tiny regardless of
+        # corpus size (runtime-settable, does not affect the stored index)
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
         eng = SearchEngine(spark, paths.root, QueryConfig(), cache=True)
         wand = SearchEngine(spark, paths.root, QueryConfig(use_wand=True))
         eng.match_query("def").collect()  # warm caches / JVM

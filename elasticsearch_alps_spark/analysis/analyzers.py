@@ -99,16 +99,48 @@ def analyze_positions(text: str, cfg: AnalyzerConfig) -> List[Tuple[str, int]]:
     if cfg.tokenizer == "simple":
         toks = _SIMPLE_TOKEN_RE.findall(text.lower())
         return list(zip(toks, range(len(toks))))
+    if cfg.tokenizer == "keyword":
+        # A10: keyword field with ignore_above — whole value as one token iff
+        # length ≤ max_token_length (index_config_1.json:63-66)
+        if len(text) > cfg.max_token_length:
+            return []
+        t = text.lower() if cfg.lowercase else text
+        return [(t, 0)] if t else []
+    if cfg.tokenizer == "url_email":
+        # A9: url_analyzer — uax_url_email tokenizer + lowercase +
+        # pattern_replace [/\-_.] → ' '
+        # (index_config_with_url_english.json:36-58). Approximated: split
+        # whitespace (URL units), then break each on [/\-_.:] boundaries.
+        toks: List[Tuple[str, int]] = []
+        pos = -1
+        for unit in text.split():
+            pos += 1
+            u = unit.lower() if cfg.lowercase else unit
+            for piece in re.split(r"[/\-_.:?#=&]+", u):
+                if piece:
+                    toks.append((piece, pos))
+        return toks
     if cfg.html_strip:
         text = html_strip(text)
     raw = tokenize_standard(text, cfg.max_token_length)
+    # code-aware sub-tokens split on the ORIGINAL casing inside _postprocess
+    # (camelCase boundaries vanish after lowercasing); stopword removal
+    # leaves position gaps (Lucene stop filter keeps position increments)
+    return _postprocess(raw, cfg)
+
+
+def analyze(text: str, cfg: AnalyzerConfig) -> List[str]:
+    """Full chain → terms only (query-side analysis)."""
+    return [t for t, _ in analyze_positions(text, cfg)]
+
+
+def _postprocess(raw: List[str], cfg: AnalyzerConfig) -> List[Tuple[str, int]]:
+    """Token-filter chain over already-tokenized input (shared-preprocessing
+    path of analyze_positions_multi)."""
     out: List[Tuple[str, int]] = []
     pos = -1
     for tok in raw:
         pos += 1
-        # code-aware sub-tokens split on the ORIGINAL casing (camelCase
-        # boundaries vanish after lowercasing); all emitted at the same
-        # position, original preserved (WordDelimiterGraph-style)
         emitted_raw = [tok]
         if cfg.code_split:
             subs = code_subtokens(tok)
@@ -122,7 +154,7 @@ def analyze_positions(text: str, cfg: AnalyzerConfig) -> List[Tuple[str, int]]:
             if cfg.asciifolding:
                 t = ascii_fold(t)
             if cfg.english_stop and t in ENGLISH_STOP_WORDS:
-                continue  # position gap
+                continue
             if cfg.english_stemmer:
                 t = porter_stem(t)
             if t and t not in seen:
@@ -131,9 +163,21 @@ def analyze_positions(text: str, cfg: AnalyzerConfig) -> List[Tuple[str, int]]:
     return out
 
 
-def analyze(text: str, cfg: AnalyzerConfig) -> List[str]:
-    """Full chain → terms only (query-side analysis)."""
-    return [t for t, _ in analyze_positions(text, cfg)]
+def analyze_positions_multi(text: str, cfgs: List[AnalyzerConfig]
+                            ) -> List[List[Tuple[str, int]]]:
+    """Run several analyzer chains over one text, sharing the char-filter +
+    tokenizer work when every config agrees on it (the index build runs the
+    main and exact chains together — reference indexes `text` and
+    `text.exact` from the same input, index_config_1.json:56-72)."""
+    if text is None:
+        return [[] for _ in cfgs]
+    shareable = (len({(c.html_strip, c.tokenizer, c.max_token_length)
+                      for c in cfgs}) == 1 and cfgs[0].tokenizer == "standard")
+    if not shareable:
+        return [analyze_positions(text, c) for c in cfgs]
+    t = html_strip(text) if cfgs[0].html_strip else text
+    raw = tokenize_standard(t, cfgs[0].max_token_length)
+    return [_postprocess(raw, c) for c in cfgs]
 
 
 def is_single_word(text: str) -> bool:

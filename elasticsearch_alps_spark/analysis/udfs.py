@@ -11,7 +11,9 @@ from __future__ import annotations
 import pandas as pd
 from pyspark.sql import Column, functions as F, types as T
 
-from elasticsearch_alps_spark.analysis.analyzers import analyze_positions
+from elasticsearch_alps_spark.analysis.analyzers import (
+    analyze_positions, analyze_positions_multi,
+)
 from elasticsearch_alps_spark.config import AnalyzerConfig
 
 # token stream element: term + position (position gaps from stopword removal)
@@ -21,6 +23,89 @@ TOKEN_STREAM_TYPE = T.ArrayType(
         T.StructField("p", T.IntegerType(), False),
     ])
 )
+
+DUAL_STREAM_TYPE = T.StructType([
+    T.StructField("main", TOKEN_STREAM_TYPE, False),
+    T.StructField("exact", TOKEN_STREAM_TYPE, False),
+])
+
+# per-doc postings computed inside the analyzer UDF: doc_len + one entry per
+# distinct term (freq + positions as delta+varint binary). Aggregating
+# term→positions in Python while the tokens are already in Python removes the
+# groupBy(term, doc_id) shuffle from the index build (one shuffle per field,
+# not two); binary positions keep shuffle rows ~3× smaller than int arrays
+# and feed the packed-block builder without re-encoding.
+DOC_POSTINGS_TYPE = T.StructType([
+    T.StructField("len", T.IntegerType(), False),
+    T.StructField("posts", T.ArrayType(T.StructType([
+        T.StructField("t", T.StringType(), False),
+        T.StructField("f", T.IntegerType(), False),
+        T.StructField("ps", T.BinaryType(), False),
+    ])), False),
+])
+
+DUAL_POSTINGS_TYPE = T.StructType([
+    T.StructField("main", DOC_POSTINGS_TYPE, False),
+    T.StructField("exact", DOC_POSTINGS_TYPE, False),
+])
+
+
+def _doc_posts(stream):
+    """[(term, pos)] → (doc_len, [(term, freq, varint-packed positions)])."""
+    from elasticsearch_alps_spark.indexing.postings import encode_positions
+    d = {}
+    for t, p in stream:
+        d.setdefault(t, []).append(p)
+    return (len(stream), [(t, len(ps), encode_positions(ps))
+                          for t, ps in d.items()])
+
+
+def doc_postings_udf(cfg: AnalyzerConfig):
+    """pandas_udf: text → struct<len, posts> (single field)."""
+
+    @F.pandas_udf(DOC_POSTINGS_TYPE)
+    def _posts(s: pd.Series) -> pd.DataFrame:
+        lens, posts = [], []
+        for x in s:
+            ln, ps = _doc_posts(analyze_positions(x, cfg) if x is not None else [])
+            lens.append(ln)
+            posts.append(ps)
+        return pd.DataFrame({"len": lens, "posts": posts})
+
+    return _posts
+
+
+def dual_doc_postings_udf(cfg_main: AnalyzerConfig, cfg_exact: AnalyzerConfig):
+    """pandas_udf: text → struct<main: <len, posts>, exact: <len, posts>> —
+    both fields' postings in ONE Python pass (shared char filter + tokenizer)."""
+
+    @F.pandas_udf(DUAL_POSTINGS_TYPE)
+    def _posts2(s: pd.Series) -> pd.DataFrame:
+        main, exact = [], []
+        for x in s:
+            m, e = analyze_positions_multi(x, [cfg_main, cfg_exact])
+            main.append(_doc_posts(m))
+            exact.append(_doc_posts(e))
+        return pd.DataFrame({"main": main, "exact": exact})
+
+    return _posts2
+
+
+def dual_token_stream_udf(cfg_main: AnalyzerConfig, cfg_exact: AnalyzerConfig):
+    """pandas_udf producing BOTH fields' token streams in one Python pass —
+    char filter + tokenizer shared (the reference indexes text and text.exact
+    from the same input)."""
+
+    @F.pandas_udf(DUAL_STREAM_TYPE)
+    def _tokenize2(s: pd.Series) -> pd.DataFrame:
+        main, exact = [], []
+        for x in s:
+            m, e = analyze_positions_multi(x, [cfg_main, cfg_exact])
+            main.append(m)
+            exact.append(e)
+        return pd.DataFrame({"main": main, "exact": exact})
+
+    return _tokenize2
 
 
 def token_stream_udf(cfg: AnalyzerConfig):

@@ -68,12 +68,23 @@ CODE_CONTENT_ANALYZER = AnalyzerConfig(
 SIMPLE_ANALYZER = AnalyzerConfig(
     html_strip=False, lowercase=True, asciifolding=False,
     english_stop=False, english_stemmer=False, tokenizer="simple")
+# A9: url field analyzer (index_config_with_url_english.json:36-58)
+URL_ANALYZER = AnalyzerConfig(
+    html_strip=False, lowercase=True, asciifolding=False,
+    english_stop=False, english_stemmer=False, tokenizer="url_email")
+# A10: keyword multi-field with ignore_above 512 (index_config_1.json:63-66)
+KEYWORD_ANALYZER = AnalyzerConfig(
+    html_strip=False, lowercase=False, asciifolding=False,
+    english_stop=False, english_stemmer=False, tokenizer="keyword",
+    max_token_length=512)
 
 ANALYZERS = {
     "web_content_analyzer": WEB_CONTENT_ANALYZER,
     "exact_match_analyzer": EXACT_MATCH_ANALYZER,
     "code_content_analyzer": CODE_CONTENT_ANALYZER,
     "simple": SIMPLE_ANALYZER,
+    "url_analyzer": URL_ANALYZER,
+    "keyword": KEYWORD_ANALYZER,
 }
 
 
@@ -150,6 +161,10 @@ class QueryConfig:
     size_wildcard: int = 100   # search.py:265
     size_fuzzy: int = 50       # search.py:309,335
     track_total_hits: int = 10_000  # ES 7 default cap, never overridden by search.py
+    # compute idf inside the Spark plan (1 job/query) instead of a separate
+    # driver-side term_stats lookup (2 jobs). JVM ln() may differ from
+    # glibc by ≤1 ulp — the DuckDB oracle gate disables this for bit-parity.
+    fused_stats: bool = True
     fuzzy_max_expansions: int = 50  # search.py:305
     fuzzy_multiword_minimum_should_match: str = "60%"  # search.py:295
     use_wand: bool = False     # block-max WAND scorer (must be result-identical)

@@ -54,34 +54,57 @@ def _content(i: int, rng: random.Random) -> str:
     return body
 
 
+DOC_SCHEMA = "repo string, path string, commit string, lang string, content string"
+
+
+def generate_row(i: int, seed: int = 42) -> Tuple[str, str, str, str, str]:
+    """One deterministic row — seeded per row (NOT sequentially), so local and
+    distributed generation produce the identical corpus."""
+    rng = random.Random(f"{seed}:{i}")
+    lang = _LANGS[i % len(_LANGS)]
+    repo = f"org{i % 7}/repo{i % 41}"
+    path = f"src/pkg{i % 13}/mod_{i}.{_EXT[lang]}"
+    commit = hashlib.sha1(f"c{i}".encode()).hexdigest()
+    if i % 97 == 0:
+        content = ""  # P1: empty content, must be filtered
+    elif i % 101 == 0:
+        content = "   \n  "  # P1: whitespace-only
+    elif i == 5:
+        # P4: >100k chars → truncation path
+        content = ("import truncation_marker " * 5000) + " tail_after_limit"
+    else:
+        content = _content(i, rng)
+    return (repo, path, commit, lang, content)
+
+
 def generate_documents(n: int = 2000, seed: int = 42) -> List[Tuple[str, str, str, str, str]]:
     """Rows of (repo, path, commit, lang, content)."""
-    rng = random.Random(seed)
-    rows = []
-    for i in range(n):
-        lang = _LANGS[i % len(_LANGS)]
-        repo = f"org{i % 7}/repo{i % 41}"
-        path = f"src/pkg{i % 13}/mod_{i}.{_EXT[lang]}"
-        commit = hashlib.sha1(f"c{i}".encode()).hexdigest()
-        if i % 97 == 0:
-            content = ""  # P1: empty content, must be filtered
-        elif i % 101 == 0:
-            content = "   \n  "  # P1: whitespace-only
-        elif i == 5:
-            # P4: >100k chars → truncation path
-            content = ("import truncation_marker " * 5000) + " tail_after_limit"
-        else:
-            content = _content(i, rng)
-        rows.append((repo, path, commit, lang, content))
-    return rows
+    return [generate_row(i, seed) for i in range(n)]
 
 
 def documents_df(spark, n: int = 2000, seed: int = 42):
-    """Spark DataFrame of the synthetic corpus."""
-    return spark.createDataFrame(
-        generate_documents(n, seed),
-        schema="repo string, path string, commit string, lang string, content string",
-    )
+    """Spark DataFrame of the synthetic corpus (driver-side generation;
+    fine for test sizes)."""
+    return spark.createDataFrame(generate_documents(n, seed), schema=DOC_SCHEMA)
+
+
+def documents_df_distributed(spark, n: int, seed: int = 42,
+                             partitions: int = None):
+    """Same corpus, generated ON THE EXECUTORS (mapInPandas over spark.range)
+    — per-row seeding makes it bit-identical to ``documents_df`` while
+    scaling generation with the cluster (used by bench at 60k+ docs)."""
+    import pandas as pd
+
+    parts = partitions or spark.sparkContext.defaultParallelism
+
+    def gen(batches):
+        for pdf in batches:
+            rows = [generate_row(int(i), seed) for i in pdf["id"]]
+            yield pd.DataFrame(rows, columns=["repo", "path", "commit",
+                                              "lang", "content"])
+
+    return (spark.range(n).repartition(parts)
+            .mapInPandas(gen, DOC_SCHEMA))
 
 
 # Reference query set per repo:FIXTURES.md §2 — one string per line, format per

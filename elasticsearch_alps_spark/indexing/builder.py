@@ -35,7 +35,9 @@ from typing import Iterable, List, Optional, Sequence
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from elasticsearch_alps_spark.analysis.udfs import tokens_with_positions
+from elasticsearch_alps_spark.analysis.udfs import (
+    simple_expressible, tokens_with_positions,
+)
 from elasticsearch_alps_spark.config import AnalyzerConfig, IndexConfig
 from elasticsearch_alps_spark.indexing.ids import assign_dense_doc_ids
 from elasticsearch_alps_spark.indexing.norms import quantize_length_col
@@ -88,8 +90,27 @@ def compute_shard_count(raw_size_gb: float) -> int:
     return shards
 
 
+def upsert_by_id(df: DataFrame, id_cols: Sequence[str],
+                 order_col: Optional[str] = None) -> DataFrame:
+    """I9 upsert semantics: re-indexing the same ``_id`` replaces the doc
+    (reference: ``_id`` at index.py:430; reindex ``conflicts: proceed``
+    merge.py:268). Keeps one row per key — last-wins by ``order_col`` desc
+    when given, else a deterministic arbitrary winner (max content hash)."""
+    from pyspark.sql import Window
+    if order_col is not None:
+        rank_by = F.col(order_col).desc()
+    else:
+        rank_by = F.sha2(F.concat_ws("\x00", *[F.coalesce(F.col(c).cast("string"),
+                                                          F.lit(""))
+                                               for c in df.columns]), 256).desc()
+    w = Window.partitionBy(*[F.col(c) for c in id_cols]).orderBy(rank_by)
+    return (df.withColumn("_rn", F.row_number().over(w))
+              .filter(F.col("_rn") == 1).drop("_rn"))
+
+
 def normalize_documents(df: DataFrame, text_col: str, cfg: IndexConfig,
-                        id_cols: Sequence[str], doc_id_col: Optional[str]) -> DataFrame:
+                        id_cols: Sequence[str], doc_id_col: Optional[str],
+                        shards: Optional[int] = None) -> DataFrame:
     """P1 empty-text filter (index.py:395-396), P4 >100k-char truncation
     (index.py:421-422), sha256 invariant column, dense docID assignment."""
     c = F.col(text_col)
@@ -107,7 +128,7 @@ def normalize_documents(df: DataFrame, text_col: str, cfg: IndexConfig,
     if doc_id_col:
         out = out.withColumn("doc_id", F.col(doc_id_col).cast("long"))
     else:
-        out = assign_dense_doc_ids(out, list(id_cols))
+        out = assign_dense_doc_ids(out, list(id_cols), shards)
     return out
 
 
@@ -134,51 +155,68 @@ def _stage_done(paths: IndexPaths, stage: str, config_key: str) -> bool:
         return False
 
 
-def _build_field(spark: SparkSession, docs: DataFrame, paths: IndexPaths,
-                 field: str, analyzer: AnalyzerConfig, cfg: IndexConfig,
-                 text_col: str, shards: int, config_key: str,
-                 resume: bool) -> dict:
-    """Build postings + term_stats (+ packed) for one analyzed field."""
+def _build_field(spark: SparkSession, n_docs: int, src: DataFrame,
+                 src_kind: str, paths: IndexPaths, field: str,
+                 analyzer: AnalyzerConfig, cfg: IndexConfig, shards: int,
+                 config_key: str, resume: bool, build_packed: bool) -> dict:
+    """Build postings + term_stats (+ packed) for one analyzed field.
+
+    ``src_kind``:
+    - "posts": (doc_id, doc_len, posts: array<struct<t,f,ps>>) — per-doc
+      postings already aggregated inside the analyzer UDF → the only shuffle
+      is the term-range exchange for the sorted layout.
+    - "tok": (doc_id, tok: array<struct<t,p>>) — JVM-side token stream (the
+      SQL-expressible simple profile); per-(term,doc) aggregation happens via
+      groupBy (one extra shuffle, but zero Python in the path).
+    """
     if resume and _stage_done(paths, f"field_{field}", config_key):
         with open(_lineage_path(paths, f"field_{field}")) as f:
             return json.load(f)["stats"]
 
     t0 = time.time()
-    tok = tokens_with_positions(docs.select("doc_id", text_col), text_col, analyzer)
-    tok = tok.select("doc_id", F.size("tok").alias("doc_len"), F.col("tok"))
-
-    dl = (quantize_length_col(F.col("doc_len")) if cfg.quantize_norms
-          else F.col("doc_len").cast("long"))
-    exploded = (tok.withColumn("dl", dl)
-                   .select("doc_id", "dl", F.explode("tok").alias("e"))
-                   .select("doc_id", "dl",
-                           F.col("e.t").alias("term"), F.col("e.p").alias("pos")))
-    postings = (exploded.groupBy("term", "doc_id")
-                .agg(F.count("*").alias("freq"),
-                     F.sort_array(F.collect_list("pos")).alias("positions"),
-                     F.first("dl").alias("dl")))
+    if src_kind == "posts":
+        dl = (quantize_length_col(F.col("doc_len")) if cfg.quantize_norms
+              else F.col("doc_len").cast("long"))
+        postings = (src.withColumn("dl", dl)
+                    .select("doc_id", "dl", F.explode("posts").alias("e"))
+                    .select("doc_id", "dl",
+                            F.col("e.t").alias("term"),
+                            F.col("e.f").cast("long").alias("freq"),
+                            F.col("e.ps").alias("positions")))
+    else:
+        tok = src.select("doc_id", F.size("tok").alias("doc_len"), F.col("tok"))
+        dl = (quantize_length_col(F.col("doc_len")) if cfg.quantize_norms
+              else F.col("doc_len").cast("long"))
+        exploded = (tok.withColumn("dl", dl)
+                       .select("doc_id", "dl", F.explode("tok").alias("e"))
+                       .select("doc_id", "dl",
+                               F.col("e.t").alias("term"), F.col("e.p").alias("pos")))
+        postings = (exploded.groupBy("term", "doc_id")
+                    .agg(F.count("*").alias("freq"),
+                         F.sort_array(F.collect_list("pos")).alias("positions"),
+                         F.first("dl").alias("dl")))
     (postings.repartitionByRange(shards, "term", "doc_id")
              .sortWithinPartitions("term", "doc_id")
-             .write.mode("overwrite").parquet(paths.postings(field)))
+             .write.mode("overwrite").option("compression", "zstd").parquet(paths.postings(field)))
 
     written = spark.read.parquet(paths.postings(field))
     (written.groupBy("term")
             .agg(F.count("*").alias("df"), F.sum("freq").alias("cf"))
             .repartitionByRange(max(1, shards // 4), "term")
             .sortWithinPartitions("term")
-            .write.mode("overwrite").parquet(paths.term_stats(field)))
+            .write.mode("overwrite").option("compression", "zstd").parquet(paths.term_stats(field)))
 
     # collection stats: N counts every indexed doc (even zero-token ones —
-    # Lucene docCount counts docs with the field); avgdl = cf_total / N exact
-    agg = tok.agg(F.count("*").alias("n_docs"),
-                  F.sum("doc_len").alias("cf_total")).collect()[0]
-    n_docs = agg["n_docs"]
-    cf_total = int(agg["cf_total"] or 0)
+    # Lucene docCount counts docs with the field); avgdl = cf_total / N exact.
+    # Derived from the docs store + term_stats (no second tokenize pass).
+    cf_row = (spark.read.parquet(paths.term_stats(field))
+              .agg(F.sum("cf").alias("cf")).collect()[0])
+    cf_total = int(cf_row["cf"] or 0)
     avgdl = cf_total / n_docs if n_docs else 0.0
     stats = {"n_docs": n_docs, "cf_total": cf_total, "avgdl": avgdl,
              "analyzer": analyzer.name()}
 
-    if cfg.build_packed:
+    if build_packed:
         _build_packed(spark, written, paths, field, cfg, avgdl, n_docs)
 
     # per-partition metrics alongside the shards (north_star lineage)
@@ -197,30 +235,55 @@ def _build_packed(spark: SparkSession, postings: DataFrame, paths: IndexPaths,
                   field: str, cfg: IndexConfig, avgdl: float, n_docs: int) -> None:
     """Pack exploded postings into delta+varint blocks, bucketed by doc range
     (bucket = doc_id // bucket_docs) — explicit skew salting: a hot term's
-    postings split across buckets, bounding every applyInPandas group."""
+    postings split across buckets, bounding every packing group.
+
+    One ``mapInPandas`` pass over (bucket, term, doc_id)-sorted partitions —
+    NOT applyInPandas-per-(bucket,term): a large vocabulary would mean
+    millions of tiny Spark groups whose per-group overhead dwarfs the packing
+    work. Group continuity across Arrow batches is handled by carrying the
+    trailing (bucket, term) run into the next batch."""
     parallelism = spark.sparkContext.defaultParallelism
     bucket_docs = max(cfg.block_size, math.ceil(max(1, n_docs) / max(1, 2 * parallelism)))
     k1, b = cfg.bm25.k1, cfg.bm25.b
     block_size = cfg.block_size
+    cols = ["bucket", "term", "block_id", "n", "first_doc", "last_doc",
+            "docs", "freqs", "dls", "pos", "max_tf_norm"]
 
-    def pack_group(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("doc_id")
-        rows = pack_term_bucket(
-            pdf["term"].iloc[0], int(pdf["bucket"].iloc[0]),
-            pdf["doc_id"].to_numpy(), pdf["freq"].to_numpy(),
-            pdf["dl"].to_numpy(), list(pdf["positions"]),
-            block_size, k1, b, avgdl)
-        return pd.DataFrame(rows, columns=["bucket", "term", "block_id", "n",
-                                           "first_doc", "last_doc", "docs",
-                                           "freqs", "dls", "pos", "max_tf_norm"])
+    def _pack_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for (bucket, term), g in pdf.groupby(["bucket", "term"], sort=False):
+            # rows are already doc_id-sorted (sortWithinPartitions)
+            rows.extend(pack_term_bucket(
+                term, int(bucket), g["doc_id"].to_numpy(),
+                g["freq"].to_numpy(), g["dl"].to_numpy(),
+                list(g["positions"]), block_size, k1, b, avgdl))
+        return pd.DataFrame(rows, columns=cols)
 
-    bucketed = postings.withColumn(
-        "bucket", (F.col("doc_id") / F.lit(bucket_docs)).cast("int"))
-    packed = bucketed.groupBy("bucket", "term").applyInPandas(pack_group, PACKED_SCHEMA)
+    def pack_partition(batches):
+        carry = None
+        for pdf in batches:
+            if carry is not None and len(carry):
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+            if not len(pdf):
+                continue
+            last_b = pdf["bucket"].iloc[-1]
+            last_t = pdf["term"].iloc[-1]
+            tail = (pdf["bucket"] == last_b) & (pdf["term"] == last_t)
+            carry = pdf[tail]
+            body = pdf[~tail]
+            if len(body):
+                yield _pack_pdf(body)
+        if carry is not None and len(carry):
+            yield _pack_pdf(carry)
+
     n_buckets = math.ceil(max(1, n_docs) / bucket_docs)
-    (packed.repartition(max(1, min(n_buckets, 2 * parallelism)), "bucket")
-           .sortWithinPartitions("bucket", "term", "block_id")
-           .write.mode("overwrite").parquet(paths.packed(field)))
+    bucketed = (postings
+                .withColumn("bucket",
+                            (F.col("doc_id") / F.lit(bucket_docs)).cast("int"))
+                .repartition(max(1, min(n_buckets, 2 * parallelism)), "bucket")
+                .sortWithinPartitions("bucket", "term", "doc_id"))
+    packed = bucketed.mapInPandas(pack_partition, PACKED_SCHEMA)
+    packed.write.mode("overwrite").option("compression", "zstd").parquet(paths.packed(field))
     meta = {"bucket_docs": bucket_docs, "n_buckets": n_buckets,
             "block_size": block_size}
     with open(os.path.join(paths.field_dir(field), "packed_meta.json"), "w") as f:
@@ -254,24 +317,74 @@ def build_index(spark: SparkSession, docs_df: DataFrame, out_dir: str,
 
     t0 = time.time()
     if not (resume and _stage_done(paths, "docs", config_key)):
-        norm = normalize_documents(docs_df, text_col, cfg, id_cols, doc_id_col)
-        (norm.repartitionByRange(
-                shards or spark.sparkContext.defaultParallelism, "doc_id")
-             .sortWithinPartitions("doc_id")
-             .write.mode("overwrite").parquet(paths.docs))
+        norm = normalize_documents(docs_df, text_col, cfg, id_cols, doc_id_col,
+                                   shards)
+        # dense-ID assignment leaves rows range-partitioned and ordered by the
+        # key == docID order, so each output file already covers a contiguous
+        # docID range (min/max pruning works) — no second shuffle needed
+        norm.write.mode("overwrite").option("compression", "zstd").parquet(paths.docs)
         _write_lineage(paths, "docs", {"config_key": config_key,
                                        "elapsed_sec": round(time.time() - t0, 3)})
-    docs = spark.read.parquet(paths.docs)
-
     n_shards = shards or cfg.number_of_shards or spark.sparkContext.defaultParallelism
+    # metadata-only count, BEFORE the repartition below (counting after would
+    # trigger a full shuffle)
+    n_docs = spark.read.parquet(paths.docs).count()
+    # The docs store lands as n_shards smallish files which Spark's split
+    # packing would coalesce into a handful of input partitions — the
+    # analyzer UDF (the dominant cost) must fan out to every core, so
+    # re-spread explicitly.
+    docs = spark.read.parquet(paths.docs).repartition(n_shards)
     field_stats = {}
+    same_analyzer = (cfg.exact_analyzer is not None
+                     and cfg.exact_analyzer == cfg.analyzer)
+    dual = cfg.exact_analyzer is not None and not same_analyzer
+    cached = None
+    if dual:
+        # one Python pass produces BOTH fields' per-doc postings (shared char
+        # filter + tokenizer), cached across the two field builds — and the
+        # per-(term,doc) aggregation happens inside the UDF, so each field
+        # needs only the term-range shuffle (no groupBy shuffle)
+        from elasticsearch_alps_spark.analysis.udfs import dual_doc_postings_udf
+        both = docs.select(
+            "doc_id",
+            dual_doc_postings_udf(cfg.analyzer, cfg.exact_analyzer)(
+                F.col(text_col)).alias("both"))
+        cached = both.persist()
+        src_main = cached.select("doc_id", F.col("both.main.len").alias("doc_len"),
+                                 F.col("both.main.posts").alias("posts"))
+        src_exact = cached.select("doc_id", F.col("both.exact.len").alias("doc_len"),
+                                  F.col("both.exact.posts").alias("posts"))
+        kind = "posts"
+    elif simple_expressible(cfg.analyzer):
+        # JVM-only token path (SQL-expressible simple profile)
+        src_main = tokens_with_positions(
+            docs.select("doc_id", text_col), text_col, cfg.analyzer
+        ).select("doc_id", "tok")
+        src_exact = src_main
+        kind = "tok"
+    else:
+        from elasticsearch_alps_spark.analysis.udfs import doc_postings_udf
+        one = docs.select(
+            "doc_id", doc_postings_udf(cfg.analyzer)(F.col(text_col)).alias("dp"))
+        src_main = one.select("doc_id", F.col("dp.len").alias("doc_len"),
+                              F.col("dp.posts").alias("posts"))
+        src_exact = src_main
+        kind = "posts"
+
     field_stats["main"] = _build_field(
-        spark, docs, paths, "main", cfg.analyzer, cfg, text_col,
-        n_shards, config_key, resume)
-    if cfg.exact_analyzer is not None:
+        spark, n_docs, src_main, kind, paths, "main", cfg.analyzer, cfg,
+        n_shards, config_key, resume, build_packed=cfg.build_packed)
+    if same_analyzer:
+        # text.exact has the identical analysis chain → alias, don't rebuild
+        field_stats["exact"] = {**field_stats["main"], "alias": "main"}
+    elif cfg.exact_analyzer is not None:
+        # packed blocks exist for WAND, which only runs on the main field —
+        # don't pay the packing cost for text.exact
         field_stats["exact"] = _build_field(
-            spark, docs, paths, "exact", cfg.exact_analyzer, cfg, text_col,
-            n_shards, config_key, resume)
+            spark, n_docs, src_exact, kind, paths, "exact", cfg.exact_analyzer,
+            cfg, n_shards, config_key, resume, build_packed=False)
+    if cached is not None:
+        cached.unpersist()
 
     stats = {
         "fields": field_stats,

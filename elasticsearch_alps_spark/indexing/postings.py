@@ -40,6 +40,37 @@ def varint_encode(values: Iterable[int]) -> bytes:
     return bytes(out)
 
 
+def encode_positions(plist: List[int]) -> bytes:
+    """One posting's positions → varint(count) + varint deltas. This is the
+    SAME byte layout a packed block uses per posting, so block packing can
+    concatenate these buffers without re-encoding. Produced directly inside
+    the analyzer UDF — positions never travel as Arrow int arrays through
+    shuffles (≈3× smaller rows through sort/exchange/parquet)."""
+    out = bytearray()
+    prev = 0
+    vals = [len(plist)]
+    for p in plist:
+        vals.append(p - prev)
+        prev = p
+    for v in vals:
+        while v >= 0x80:
+            out.append((v & 0x7F) | 0x80)
+            v >>= 7
+        out.append(v)
+    return bytes(out)
+
+
+def decode_positions(buf: bytes) -> List[int]:
+    """Inverse of encode_positions."""
+    vals = varint_decode(buf)
+    out = []
+    acc = 0
+    for d in vals[1:1 + vals[0]]:
+        acc += d
+        out.append(acc)
+    return out
+
+
 def varint_decode(buf: bytes) -> List[int]:
     out: List[int] = []
     v = 0
@@ -65,14 +96,18 @@ def pack_block(doc_ids: np.ndarray, freqs: np.ndarray, dls: np.ndarray,
     docs_b = varint_encode(gaps)
     freqs_b = varint_encode(freqs)
     dls_b = varint_encode(dls)
-    pos_parts: List[int] = []
-    for plist in positions:
-        pos_parts.append(len(plist))
-        prev = 0
-        for p in plist:
-            pos_parts.append(p - prev)
-            prev = p
-    pos_b = varint_encode(pos_parts)
+    if positions and isinstance(positions[0], (bytes, bytearray)):
+        # already per-posting varint buffers (encode_positions) — concatenate
+        pos_b = b"".join(bytes(p) for p in positions)
+    else:
+        pos_parts: List[int] = []
+        for plist in positions:
+            pos_parts.append(len(plist))
+            prev = 0
+            for p in plist:
+                pos_parts.append(p - prev)
+                prev = p
+        pos_b = varint_encode(pos_parts)
     denom = freqs + k1 * (1.0 - b + b * dls.astype(np.float64) / avgdl)
     max_tf_norm = float(np.max(freqs / denom))
     return docs_b, freqs_b, dls_b, pos_b, max_tf_norm

@@ -73,10 +73,14 @@ def merge_indexes(spark: SparkSession, index_dirs: List[str], out_dir: str,
          for p, off in zip(sources, offsets)])
     (merged_docs.repartitionByRange(n_shards, "doc_id")
                 .sortWithinPartitions("doc_id")
-                .write.mode("overwrite").parquet(out.docs))
+                .write.mode("overwrite").option("compression", "zstd").parquet(out.docs))
 
     field_stats = {}
+    aliased = {f: s.get("alias") for f, s in stats[0]["fields"].items()
+               if s.get("alias")}
     for field in fields:
+        if field in aliased:
+            continue  # resolved after the concrete fields are merged
         merged = reduce(
             DataFrame.unionByName,
             [_offset_doc_ids(spark.read.parquet(p.postings(field)), off)
@@ -84,13 +88,13 @@ def merge_indexes(spark: SparkSession, index_dirs: List[str], out_dir: str,
         # range partition on (term, doc_id): term-pruned layout + hot-term salting
         (merged.repartitionByRange(n_shards, "term", "doc_id")
                .sortWithinPartitions("term", "doc_id")
-               .write.mode("overwrite").parquet(out.postings(field)))
+               .write.mode("overwrite").option("compression", "zstd").parquet(out.postings(field)))
         written = spark.read.parquet(out.postings(field))
         (written.groupBy("term")
                 .agg(F.count("*").alias("df"), F.sum("freq").alias("cf"))
                 .repartitionByRange(max(1, n_shards // 4), "term")
                 .sortWithinPartitions("term")
-                .write.mode("overwrite").parquet(out.term_stats(field)))
+                .write.mode("overwrite").option("compression", "zstd").parquet(out.term_stats(field)))
         n_docs = sum(s["fields"][field]["n_docs"] for s in stats)
         cf_total = sum(s["fields"][field]["cf_total"] for s in stats)
         avgdl = cf_total / n_docs if n_docs else 0.0
@@ -98,7 +102,7 @@ def merge_indexes(spark: SparkSession, index_dirs: List[str], out_dir: str,
             "n_docs": n_docs, "cf_total": cf_total, "avgdl": avgdl,
             "analyzer": stats[0]["fields"][field]["analyzer"],
         }
-        if cfg.build_packed:
+        if cfg.build_packed and field == "main":  # WAND only runs on main
             _build_packed(spark, written, out, field, cfg, avgdl, n_docs)
         # exact count verification (reference uses a ≥90% bar, merge.py:202)
         expected_cf = sum(s["fields"][field]["cf_total"] for s in stats)
@@ -107,6 +111,9 @@ def merge_indexes(spark: SparkSession, index_dirs: List[str], out_dir: str,
             raise RuntimeError(
                 f"merge verification failed for field {field}: "
                 f"cf {actual_cf} != expected {expected_cf}")
+
+    for field, target in aliased.items():
+        field_stats[field] = {**field_stats[target], "alias": target}
 
     out_stats = {
         "fields": field_stats,

@@ -61,13 +61,21 @@ class SearchEngine:
         self._postings: Dict[str, DataFrame] = {}
         self._term_stats: Dict[str, DataFrame] = {}
         self._analyzers: Dict[str, AnalyzerConfig] = {}
+        self._field_src: Dict[str, str] = {}
         for field, fstats in self.stats["fields"].items():
-            self._postings[field] = spark.read.parquet(self.paths.postings(field))
-            self._term_stats[field] = spark.read.parquet(self.paths.term_stats(field))
+            # an aliased field (identical analyzer) shares the source tables
+            src = fstats.get("alias", field)
+            self._field_src[field] = src
+            if src in self._postings and src != field:
+                self._postings[field] = self._postings[src]
+                self._term_stats[field] = self._term_stats[src]
+            else:
+                self._postings[field] = spark.read.parquet(self.paths.postings(src))
+                self._term_stats[field] = spark.read.parquet(self.paths.term_stats(src))
+                if cache:
+                    self._postings[field] = self._postings[field].cache()
+                    self._term_stats[field] = self._term_stats[field].cache()
             self._analyzers[field] = _analyzer_from_name(fstats["analyzer"])
-            if cache:
-                self._postings[field] = self._postings[field].cache()
-                self._term_stats[field] = self._term_stats[field].cache()
         self._docs: Optional[DataFrame] = None
         self.results: List[dict] = []
         # unlimited match-count plan of the most recent query (for the
@@ -111,6 +119,37 @@ class SearchEngine:
     def _empty_hits(self) -> DataFrame:
         return self.spark.createDataFrame([], "doc_id long, score double")
 
+    def _score_clauses_fused(self, field: str, clause_mults: List[Tuple[int, str, float]],
+                             required: int, size: int) -> DataFrame:
+        """Single-job variant of _score_clauses: idf computed inside the plan
+        by joining term_stats (broadcast, term-pruned scan) instead of a
+        separate driver-side lookup job."""
+        if not clause_mults:
+            return self._empty_hits()
+        terms = list({t for _, t, _ in clause_mults})
+        n, _ = self._fstat(field)
+        cdf = self.spark.createDataFrame(
+            clause_mults, "clause_id int, term string, mult double")
+        df_col = F.col("df").cast("double")
+        idf = F.log(F.lit(1.0) + (F.lit(float(n)) - df_col + F.lit(0.5))
+                    / (df_col + F.lit(0.5)))
+        wdf = (self._term_stats[field]
+               .filter(F.col("term").isin(terms)).select("term", "df")
+               .join(F.broadcast(cdf), "term")
+               .select("term", "clause_id", (F.col("mult") * idf).alias("weight")))
+        j = (self._postings[field]
+             .filter(F.col("term").isin(terms))
+             .join(F.broadcast(wdf), "term")
+             .withColumn("s", F.col("weight") * self._tf_norm_col(field)))
+        agg = j.groupBy("doc_id").agg(
+            F.sum("s").alias("score"),
+            F.countDistinct("clause_id").alias("nmatch"))
+        if required > 1:
+            agg = agg.filter(F.col("nmatch") >= required)
+        self._last_total_df = agg
+        return (agg.select("doc_id", "score")
+                   .orderBy(F.desc("score"), F.asc("doc_id")).limit(size))
+
     def _score_clauses(self, field: str, clauses: List[Clause],
                        required: int, size: int) -> DataFrame:
         """Disjunctive scoring: per-doc score = Σ weight·tf_norm over matched
@@ -147,9 +186,6 @@ class SearchEngine:
         mult: Dict[str, int] = {}
         for t in terms:
             mult[t] = mult.get(t, 0) + 1
-        dfs = self._df_lookup("main", list(mult))
-        clauses = [(i, t, k * self.idf("main", dfs.get(t, 0)))
-                   for i, (t, k) in enumerate(mult.items())]
         if operator == "and":
             required = len(mult)
         elif minimum_should_match is not None:
@@ -157,6 +193,12 @@ class SearchEngine:
             required = max(1, int(math.floor(minimum_should_match / 100.0 * len(mult))))
         else:
             required = 1
+        if self.qcfg.fused_stats and not self.qcfg.use_wand:
+            clause_mults = [(i, t, float(k)) for i, (t, k) in enumerate(mult.items())]
+            return self._score_clauses_fused("main", clause_mults, required, size)
+        dfs = self._df_lookup("main", list(mult))
+        clauses = [(i, t, k * self.idf("main", dfs.get(t, 0)))
+                   for i, (t, k) in enumerate(mult.items())]
         if self.qcfg.use_wand and required == 1:
             return self._wand("main", clauses, size)
         return self._score_clauses("main", clauses, required, size)
@@ -166,9 +208,10 @@ class SearchEngine:
         the exhaustive scorer (pruning is lossless; asserted in tests)."""
         from elasticsearch_alps_spark.queries.wand import wand_topk
         _, avgdl = self._fstat(field)
+        src = self._field_src.get(field, field)
         self._last_total_df = None  # WAND prunes; full count unavailable (G3 note)
-        return wand_topk(self.spark, self.paths.packed(field),
-                         self.paths.field_dir(field), clauses, size,
+        return wand_topk(self.spark, self.paths.packed(src),
+                         self.paths.field_dir(src), clauses, size,
                          self.k1, self.b, avgdl)
 
     def match_phrase_query(self, text: str, slop: int = 0,
@@ -203,8 +246,15 @@ class SearchEngine:
 
         @F.pandas_udf("double")
         def pfreq(plists: pd.Series) -> pd.Series:
+            from elasticsearch_alps_spark.indexing.postings import decode_positions
+
             def one(lst):
-                pos = {e["term"]: list(e["positions"]) for e in lst}
+                pos = {}
+                for e in lst:
+                    p = e["positions"]
+                    pos[e["term"]] = (decode_positions(bytes(p))
+                                      if isinstance(p, (bytes, bytearray))
+                                      else list(p))
                 return phrase_freq(qterms, pos, qslop, qoffsets)
             return plists.map(one)
 
@@ -223,6 +273,8 @@ class SearchEngine:
         if not is_single_word(text) or "exact" not in self._postings:
             return self._empty_hits()
         term = text.strip().lower()
+        if self.qcfg.fused_stats:
+            return self._score_clauses_fused("exact", [(0, term, 1.0)], 1, size)
         dfs = self._df_lookup("exact", [term])
         if not dfs:
             return self._empty_hits()
@@ -265,6 +317,32 @@ class SearchEngine:
                   .select("term", "boost", "df").collect())
         return [(r["term"], r["boost"], r["df"]) for r in cand]
 
+    def _fuzzy_expand_multi(self, field: str, words: List[str]) -> Dict[int, list]:
+        """Expansions for several words in ONE term-dictionary scan (join with
+        a broadcast words frame + per-word rank window) instead of a Spark
+        job per word."""
+        from pyspark.sql import Window
+        wrows = [(i, w, fuzzy_auto_distance(w), len(w)) for i, w in enumerate(words)]
+        wdf = self.spark.createDataFrame(
+            wrows, "widx int, word string, maxd int, wlen int")
+        ts = self._term_stats[field]
+        cand = (ts.join(F.broadcast(wdf),
+                        (F.length("term") >= F.col("wlen") - F.col("maxd"))
+                        & (F.length("term") <= F.col("wlen") + F.col("maxd")))
+                .withColumn("ed", F.levenshtein(F.col("term"), F.col("word")))
+                .filter(F.col("ed") <= F.col("maxd"))
+                .withColumn("boost", F.when(F.col("ed") == 0, F.lit(1.0)).otherwise(
+                    F.lit(1.0) - F.col("ed").cast("double")
+                    / F.least(F.length("term"), F.col("wlen")).cast("double"))))
+        w = Window.partitionBy("widx").orderBy(F.desc("boost"), F.asc("term"))
+        top = (cand.withColumn("rn", F.row_number().over(w))
+                   .filter(F.col("rn") <= self.qcfg.fuzzy_max_expansions)
+                   .select("widx", "term", "boost", "df").collect())
+        out: Dict[int, list] = {i: [] for i in range(len(words))}
+        for r in top:
+            out[r["widx"]].append((r["term"], r["boost"], r["df"]))
+        return out
+
     def fuzzy_query(self, text: str, size: Optional[int] = None) -> DataFrame:
         """Q7 (search.py:282-349). Single word: term-level fuzzy (NO analysis of
         the query value, matching ES), expansions scored boost·BM25 and summed.
@@ -284,9 +362,10 @@ class SearchEngine:
         uniq = list(dict.fromkeys(words))
         pct = int(self.qcfg.fuzzy_multiword_minimum_should_match.rstrip("%"))
         required = max(1, int(math.floor(pct / 100.0 * len(uniq))))
+        expansions = self._fuzzy_expand_multi("main", uniq)
         clauses: List[Clause] = []
-        for ci, w in enumerate(uniq):
-            for t, boost, df in self._fuzzy_expand("main", w):
+        for ci in range(len(uniq)):
+            for t, boost, df in expansions[ci]:
                 clauses.append((ci, t, boost * self.idf("main", df)))
         return self._score_clauses("main", clauses, required, size)
 
@@ -310,15 +389,13 @@ class SearchEngine:
             clause_terms.append(analyze(w, self._analyzers["main"]))
         if op == "and" and any(not ts for ts in clause_terms):
             return self._empty_hits()  # zero-term must clause matches nothing
-        all_terms = [t for ts in clause_terms for t in ts]
-        dfs = self._df_lookup("main", all_terms)
-        clauses: List[Clause] = []
+        clause_mults: List[Clause] = []
         for ci, ts in enumerate(clause_terms):
             mult: Dict[str, int] = {}
             for t in ts:
                 mult[t] = mult.get(t, 0) + 1
             for t, k in mult.items():
-                clauses.append((ci, t, k * self.idf("main", dfs.get(t, 0))))
+                clause_mults.append((ci, t, float(k)))
         n_clauses = len([ts for ts in clause_terms if ts])
         if op == "and":
             required = len(clause_terms)
@@ -328,7 +405,20 @@ class SearchEngine:
         else:
             required = 1
         required = min(required, n_clauses) if n_clauses else required
+        if self.qcfg.fused_stats:
+            return self._score_clauses_fused("main", clause_mults, required, size)
+        dfs = self._df_lookup("main", [t for _, t, _ in clause_mults])
+        clauses = [(ci, t, k * self.idf("main", dfs.get(t, 0)))
+                   for ci, t, k in clause_mults]
         return self._score_clauses("main", clauses, required, size)
+
+    def match_all(self, size: int = 1) -> DataFrame:
+        """Q11 (merge.py:151-155): all docs, constant score 1.0 — the
+        reference uses it as a searchability health probe."""
+        self._last_total_df = None
+        return (self.docs.select("doc_id")
+                .withColumn("score", F.lit(1.0))
+                .orderBy("doc_id").limit(size))
 
     # --------------------------------------------- response assembly (Q12/13)
 

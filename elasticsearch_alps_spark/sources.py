@@ -1,0 +1,74 @@
+"""Input adapters — the reference's two ingest pipelines as DataFrame ops.
+
+1. FineWeb web-corpus parquet (``/root/reference/scripts/index/index.py``):
+   columns (text, id, metadata-JSON) → indexed doc {text, url, document_id}
+   with P1 empty filter, P2 JSON url extraction, P3 empty-url filter,
+   P4 >100k truncation (applied downstream by the index builder).
+2. SFT conversations Arrow/nested (``scripts/index/index_arrow.py:290-450``):
+   messages: list<struct<role, content{parts[{type,text}], blocks[{text}],
+   text}>> flattened to one "role: text\\n\\nrole: text" blob per
+   conversation, keeping only user/assistant turns (P6).
+
+Both are pure Catalyst (higher-order array functions / get_json_object) — no
+Python in the row path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def fineweb_adapter(df: DataFrame, text_col: str = "text", id_col: str = "id",
+                    metadata_col: str = "metadata") -> DataFrame:
+    """FineWeb parquet → (doc_key, text, url) rows ready for build_index.
+
+    Mirrors index.py:362-443: read (text, id, metadata); P1 drop null/blank
+    text (395-396); P2 url from the metadata JSON (398-413); P3 drop docs
+    without url (416-418). Truncation (P4) happens inside build_index.
+    """
+    t = F.col(text_col)
+    url = F.get_json_object(F.col(metadata_col), "$.url")
+    return (df
+            .filter(t.isNotNull() & t.rlike(r"\S"))
+            .withColumn("url", url)
+            .filter(F.col("url").isNotNull() & (F.length("url") > 0))
+            .select(F.col(id_col).alias("document_id"), t.alias("text"), "url"))
+
+
+def sft_conversation_adapter(df: DataFrame,
+                             id_col: str = "conversation_id",
+                             messages_col: str = "messages",
+                             metadata_col: str = "original_metadata") -> DataFrame:
+    """SFT conversations → (conversation_id, original_metadata, text).
+
+    Mirrors index_arrow.py:290-450: keep only role ∈ {user, assistant}
+    messages; per message take content.parts[].text ++ content.blocks[].text
+    ++ content.text (non-null, non-blank); format "role: text"; join messages
+    with blank lines; drop conversations that flatten to nothing.
+    """
+    m = F.col(messages_col)
+    kept = F.filter(m, lambda x: x["role"].isin("user", "assistant"))
+
+    def msg_text(x):
+        parts = F.coalesce(
+            F.transform(x["content"]["parts"], lambda p: p["text"]),
+            F.array().cast("array<string>"))
+        blocks = F.coalesce(
+            F.transform(x["content"]["blocks"], lambda b: b["text"]),
+            F.array().cast("array<string>"))
+        direct = F.coalesce(
+            F.array(x["content"]["text"]), F.array().cast("array<string>"))
+        pieces = F.filter(
+            F.concat(parts, blocks, direct),
+            lambda s: s.isNotNull() & s.rlike(r"\S"))
+        return F.array_join(pieces, " ")
+
+    formatted = F.transform(kept, lambda x: F.concat(
+        x["role"], F.lit(": "), msg_text(x)))
+    nonempty = F.filter(formatted,
+                        lambda s: ~s.rlike(r"^(user|assistant): *$"))
+    text = F.array_join(nonempty, "\n\n")
+    return (df.select(F.col(id_col).alias("conversation_id"),
+                      F.col(metadata_col).alias("original_metadata"),
+                      text.alias("text"))
+              .filter(F.col("text").rlike(r"\S")))

@@ -1,0 +1,98 @@
+"""Incremental (streaming) index ingest — a Spark-first EXTENSION.
+
+The reference is strictly batch (SURVEY.md §2.9: bulk load with refresh
+disabled, then search; its ``refresh_interval`` is ES near-real-time
+visibility, not stream processing). This module is the Structured-Streaming
+analog of that refresh model: each micro-batch becomes one immutable index
+*segment* (exactly like an ES refresh producing a Lucene segment), and
+compaction merges segments into a queryable index (the ES force-merge /
+stage-merge analog, one Spark job via merging.merge_indexes).
+
+Exactly-once: ``foreachBatch`` epochs are idempotent — a segment whose
+lineage marker exists is skipped on replay, so sink retries cannot duplicate
+documents (the streaming analog of the reference's completion-marker files).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+
+from elasticsearch_alps_spark.config import IndexConfig
+from elasticsearch_alps_spark.indexing.builder import IndexPaths, build_index
+from elasticsearch_alps_spark.merging.merger import merge_indexes
+
+
+class IncrementalIndexer:
+    def __init__(self, spark: SparkSession, root: str,
+                 cfg: Optional[IndexConfig] = None, *,
+                 text_col: str = "content",
+                 id_cols: Sequence[str] = ("repo", "path", "commit"),
+                 doc_id_col: Optional[str] = None,
+                 shards: Optional[int] = None):
+        self.spark = spark
+        self.root = root
+        self.cfg = cfg or IndexConfig()
+        self.text_col = text_col
+        self.id_cols = tuple(id_cols)
+        self.doc_id_col = doc_id_col
+        self.shards = shards
+        os.makedirs(self.segments_root, exist_ok=True)
+
+    @property
+    def segments_root(self) -> str:
+        return os.path.join(self.root, "segments")
+
+    @property
+    def compacted_dir(self) -> str:
+        return os.path.join(self.root, "compacted")
+
+    def segment_dirs(self) -> list:
+        out = []
+        for name in sorted(os.listdir(self.segments_root)):
+            d = os.path.join(self.segments_root, name)
+            if os.path.exists(os.path.join(d, "stats.json")):
+                out.append(d)
+        return out
+
+    def _segment_dir(self, epoch_id: int) -> str:
+        return os.path.join(self.segments_root, f"epoch_{epoch_id:010d}")
+
+    def process_batch(self, batch_df: DataFrame, epoch_id: int) -> None:
+        """foreachBatch sink: one micro-batch → one immutable segment.
+        Idempotent on epoch replay (segment stats.json is the marker)."""
+        seg = self._segment_dir(epoch_id)
+        if os.path.exists(os.path.join(seg, "stats.json")):
+            return  # epoch replayed after a failure — already ingested
+        if batch_df.isEmpty():
+            return
+        build_index(self.spark, batch_df, seg, self.cfg,
+                    text_col=self.text_col, id_cols=self.id_cols,
+                    doc_id_col=self.doc_id_col, shards=self.shards)
+
+    def start(self, stream_df: DataFrame, checkpoint: Optional[str] = None,
+              **trigger):
+        """Attach to a streaming DataFrame; returns the StreamingQuery."""
+        return (stream_df.writeStream
+                .foreachBatch(self.process_batch)
+                .option("checkpointLocation",
+                        checkpoint or os.path.join(self.root, "_checkpoint"))
+                .trigger(**(trigger or {"availableNow": True}))
+                .start())
+
+    def compact(self) -> IndexPaths:
+        """Merge all segments into one queryable index (the force-merge
+        analog; SURVEY.md §3.3's 95→1 hierarchy collapsed to one shuffle)."""
+        segs = self.segment_dirs()
+        if not segs:
+            raise RuntimeError("no segments to compact")
+        if len(segs) == 1:
+            return IndexPaths(segs[0])
+        out = merge_indexes(self.spark, segs, self.compacted_dir,
+                            self.cfg, shards=self.shards)
+        with open(os.path.join(self.root, "_compaction.json"), "w") as f:
+            json.dump({"segments": segs}, f, indent=2)
+        return out

@@ -153,6 +153,32 @@ class TestChain:
         assert not is_single_word("hello world")
         assert not is_single_word("can't")  # two \w+ runs — reference quirk
 
+    def test_url_analyzer(self):
+        from elasticsearch_alps_spark.config import URL_ANALYZER
+        out = analyze_positions("Visit https://Example.COM/a-b/c_d.html now",
+                                URL_ANALYZER)
+        terms = [t for t, _ in out]
+        assert "example" in terms and "com" in terms
+        assert "a" in terms and "b" in terms and "html" in terms
+        # one position per whitespace unit
+        assert {p for _, p in out} == {0, 1, 2}
+
+    def test_keyword_analyzer_ignore_above(self):
+        from elasticsearch_alps_spark.config import KEYWORD_ANALYZER
+        assert analyze_positions("Some Exact Value", KEYWORD_ANALYZER) == \
+            [("Some Exact Value", 0)]
+        assert analyze_positions("x" * 513, KEYWORD_ANALYZER) == []
+
+    def test_multi_matches_single(self):
+        from elasticsearch_alps_spark.analysis.analyzers import analyze_positions_multi
+        from elasticsearch_alps_spark.config import (
+            EXACT_MATCH_ANALYZER, WEB_CONTENT_ANALYZER)
+        text = "<b>The RUNNING cafés</b> are beautiful"
+        m, e = analyze_positions_multi(
+            text, [WEB_CONTENT_ANALYZER, EXACT_MATCH_ANALYZER])
+        assert m == analyze_positions(text, WEB_CONTENT_ANALYZER)
+        assert e == analyze_positions(text, EXACT_MATCH_ANALYZER)
+
     def test_fuzzy_auto(self):
         assert fuzzy_auto_distance("ab") == 0
         assert fuzzy_auto_distance("abc") == 1

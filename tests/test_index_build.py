@@ -52,6 +52,7 @@ def test_term_stats_match_oracle(spark, built_index, oracle_index):
 
 
 def test_postings_positions_and_dl(spark, built_index, oracle_index):
+    from elasticsearch_alps_spark.indexing.postings import decode_positions
     sample_terms = list(oracle_index.main.postings)[:25]
     rows = (spark.read.parquet(built_index.postings("main"))
             .filter(F.col("term").isin(sample_terms)).collect())
@@ -59,7 +60,10 @@ def test_postings_positions_and_dl(spark, built_index, oracle_index):
     for term in sample_terms:
         for doc_id, positions in oracle_index.main.postings[term].items():
             r = by_key[(term, doc_id)]
-            assert list(r["positions"]) == sorted(positions)
+            got = r["positions"]
+            if isinstance(got, (bytes, bytearray)):  # Lucene profile: varint
+                got = decode_positions(bytes(got))
+            assert list(got) == sorted(positions)
             assert r["freq"] == len(positions)
             assert r["dl"] == quantize_length(oracle_index.main.doc_len[doc_id])
 
@@ -100,6 +104,35 @@ def test_sha256_invariant_column(spark, built_index, corpus_df):
     joined = docs.join(src, ["repo", "path", "commit"])
     assert joined.filter(F.col("content_sha256") != F.col("src_sha")).count() == 0
     assert joined.count() == docs.count()
+
+
+def test_upsert_by_id(spark):
+    from elasticsearch_alps_spark.indexing.builder import upsert_by_id
+    df = spark.createDataFrame(
+        [("a", 1, "old"), ("a", 2, "new"), ("b", 1, "only")],
+        "key string, version int, content string")
+    out = {r["key"]: r for r in upsert_by_id(df, ["key"], "version").collect()}
+    assert out["a"]["content"] == "new"   # last-wins by version
+    assert out["b"]["content"] == "only"
+    # deterministic winner even without an order column
+    a = sorted(map(tuple, upsert_by_id(df, ["key"]).collect()))
+    b = sorted(map(tuple, upsert_by_id(df.repartition(7), ["key"]).collect()))
+    assert a == b
+
+
+def test_exact_field_alias_when_same_analyzer(spark, corpus_df, tmp_path):
+    """Identical main/exact analyzers → exact is an alias, not a rebuild."""
+    import os
+    from elasticsearch_alps_spark.config import SIMPLE_ANALYZER
+    cfg = IndexConfig(analyzer=SIMPLE_ANALYZER, exact_analyzer=SIMPLE_ANALYZER,
+                      quantize_norms=False, build_packed=False)
+    p = build_index(spark, corpus_df, str(tmp_path / "alias_idx"), cfg, shards=2)
+    stats = p.read_stats()
+    assert stats["fields"]["exact"]["alias"] == "main"
+    assert not os.path.exists(p.postings("exact"))
+    from elasticsearch_alps_spark.queries.engine import SearchEngine
+    eng = SearchEngine(spark, p.root)
+    assert eng.term_query_exact("def").count() > 0
 
 
 def test_resume_skips_built_stages(spark, corpus_df, tmp_path):

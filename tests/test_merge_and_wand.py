@@ -78,23 +78,45 @@ WAND_QUERIES = ["def", "import", "parse json config", "def main",
                 "segment posting merge shard index", "uniq_100_1"]
 
 
+def _ranked(rows):
+    """Re-rank by (score rounded to 9 dp, doc_id): per-doc sums accumulate in
+    different orders in the two scorers (Spark partial-agg order vs WAND
+    iterator order), so last-ulp diffs can swap exact-tie neighbors — the
+    same rounding discipline the oracle gate uses."""
+    return sorted(((r["doc_id"], round(r["score"], 9)) for r in rows),
+                  key=lambda t: (-t[1], t[0]))
+
+
 @pytest.mark.parametrize("q", WAND_QUERIES)
 def test_wand_identical_to_exhaustive(spark, built_index, q):
-    """Block-max WAND pruning must be lossless (SURVEY.md §7.1 M6)."""
-    exhaustive = SearchEngine(spark, built_index.root, QueryConfig(use_wand=False))
+    """Block-max WAND pruning must be lossless (SURVEY.md §7.1 M6).
+    Both engines use driver-side idf (fused_stats=False — WAND always does)."""
+    exhaustive = SearchEngine(spark, built_index.root,
+                              QueryConfig(use_wand=False, fused_stats=False))
     wand = SearchEngine(spark, built_index.root, QueryConfig(use_wand=True))
-    want = [(r["doc_id"], r["score"]) for r in exhaustive.match_query(q).collect()]
-    got = [(r["doc_id"], r["score"]) for r in wand.match_query(q).collect()]
-    assert [d for d, _ in got] == [d for d, _ in want], q
-    for (gd, gs), (_, ws) in zip(got, want):
-        assert gs == pytest.approx(ws, rel=1e-9), (q, gd)
+    want = _ranked(exhaustive.match_query(q).collect())
+    got = _ranked(wand.match_query(q).collect())
+    assert got == want, q
 
 
 def test_wand_small_k_prunes_consistently(spark, built_index):
-    exhaustive = SearchEngine(spark, built_index.root, QueryConfig(use_wand=False))
+    exhaustive = SearchEngine(spark, built_index.root,
+                              QueryConfig(use_wand=False, fused_stats=False))
     wand = SearchEngine(spark, built_index.root, QueryConfig(use_wand=True))
     for k in (1, 5, 10):
-        want = [r["doc_id"] for r in
-                exhaustive.match_query("def", size=k).collect()]
-        got = [r["doc_id"] for r in wand.match_query("def", size=k).collect()]
+        want = _ranked(exhaustive.match_query("def", size=k).collect())
+        got = _ranked(wand.match_query("def", size=k).collect())
         assert got == want, k
+
+
+def test_fused_vs_driver_idf_same_docsets(spark, built_index):
+    """Fused (JVM ln) vs driver-side (glibc ln) idf: same hit SET and scores
+    to 1e-9 rel; ORDER may legitimately differ inside exact-tie clusters."""
+    fused = SearchEngine(spark, built_index.root, QueryConfig(fused_stats=True))
+    plain = SearchEngine(spark, built_index.root, QueryConfig(fused_stats=False))
+    for q in ("def", "parse json config"):
+        a = {r["doc_id"]: r["score"] for r in fused.match_query(q, size=10_000).collect()}
+        b = {r["doc_id"]: r["score"] for r in plain.match_query(q, size=10_000).collect()}
+        assert set(a) == set(b), q
+        for d in a:
+            assert a[d] == pytest.approx(b[d], rel=1e-9), (q, d)

@@ -1,0 +1,47 @@
+"""Physical-plan regression guards — the scale story depends on these
+(SURVEY.md §4): term IN (...) pushed into the parquet scan, positions column
+pruned when unused, broadcast join for the tiny clause frame, partial
+(map-side) aggregation, TakeOrderedAndProject top-k."""
+
+import pytest
+
+from elasticsearch_alps_spark.queries.engine import SearchEngine
+
+
+def _formatted_plan(df):
+    spark = df.sparkSession
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    return df._jdf.queryExecution().explainString(mode)
+
+
+@pytest.fixture(scope="module")
+def engine(spark, built_index):
+    return SearchEngine(spark, built_index.root)
+
+
+def test_match_query_plan(spark, engine):
+    plan = _formatted_plan(engine.match_query("parse json config"))
+    assert "PushedFilters: [In(term" in plan, "term filter must reach the scan"
+    assert "BroadcastHashJoin" in plan, "clause frame must broadcast"
+    assert "TakeOrderedAndProject" in plan, "top-k must not be a global sort"
+    assert "partial_sum" in plan, "map-side combine expected before shuffle"
+    # column pruning: match scoring never reads the positions arrays
+    scan = plan.split("Scan parquet")[1].split("(2)")[0]
+    assert "positions" not in scan, "positions must be pruned from the scan"
+
+
+def test_phrase_plan_reads_positions(spark, engine):
+    plan = _formatted_plan(engine.match_phrase_query("parse json"))
+    assert "PushedFilters: [In(term" in plan
+    assert "positions" in plan  # phrase scoring legitimately needs them
+
+
+def test_wildcard_plan_semi_join(spark, engine):
+    plan = _formatted_plan(engine.wildcard_query("pars"))
+    assert "LeftSemi" in plan or "left_semi" in plan.lower()
+
+
+def test_doc_store_join_is_broadcast(spark, engine):
+    hits = engine.match_query("def")
+    plan = _formatted_plan(engine.materialize_hits(hits))
+    assert "BroadcastHashJoin" in plan, "k-row hit side must broadcast (J4)"

@@ -30,10 +30,16 @@ def engine(spark, built_index):
 
 
 def assert_hits_equal(spark_df, oracle_hits, what):
-    got = [(r["doc_id"], r["score"]) for r in spark_df.collect()]
-    assert [d for d, _ in got] == [d for d, _ in oracle_hits], \
-        f"{what}: docID ranking mismatch\n got={got[:10]}\n want={oracle_hits[:10]}"
-    for (gd, gs), (od, os_) in zip(got, oracle_hits):
+    """Rank-identical after rounding scores to 9 dp: per-doc sums accumulate
+    in different orders (Spark partial agg vs Python dict order), so last-ulp
+    differences may swap EXACT-tie neighbors — everything else must match."""
+    got = sorted(((r["doc_id"], round(r["score"], 9)) for r in spark_df.collect()),
+                 key=lambda t: (-t[1], t[0]))
+    want = sorted(((d, round(s, 9)) for d, s in oracle_hits),
+                  key=lambda t: (-t[1], t[0]))
+    assert [d for d, _ in got] == [d for d, _ in want], \
+        f"{what}: docID ranking mismatch\n got={got[:10]}\n want={want[:10]}"
+    for (gd, gs), (od, os_) in zip(got, want):
         assert gs == pytest.approx(os_, rel=1e-9, abs=1e-12), \
             f"{what}: score mismatch doc {gd}: {gs} vs {os_}"
 

@@ -29,7 +29,7 @@ def run(cpus: int, n_docs: int) -> dict:
 def main() -> None:
     n_small = int(os.environ.get("ALPS_SCALE_N", "8"))
     n_big = 4 * n_small
-    n_docs = int(os.environ.get("ALPS_BENCH_DOCS", "20000"))
+    n_docs = int(os.environ.get("ALPS_BENCH_DOCS", "60000"))
     small = run(n_small, n_docs)
     big = run(n_big, n_docs)
     t_small = small["indexing_docs_per_sec"]

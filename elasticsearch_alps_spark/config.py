@@ -165,6 +165,12 @@ class QueryConfig:
     # driver-side term_stats lookup (2 jobs). JVM ln() may differ from
     # glibc by ≤1 ulp — the DuckDB oracle gate disables this for bit-parity.
     fused_stats: bool = True
+    # hybrid serving path: when the query's term-pruned postings fit under
+    # this budget, fetch them in ONE incremental job and score on the driver
+    # (what a search tier does for pruned term sets); a query that trips the
+    # budget — e.g. a 10^9-df hot term at 100 TB — automatically falls back
+    # to the distributed scoring plan. 0 disables.
+    driver_score_max_postings: int = 200_000
     fuzzy_max_expansions: int = 50  # search.py:305
     fuzzy_multiword_minimum_should_match: str = "60%"  # search.py:295
     use_wand: bool = False     # block-max WAND scorer (must be result-identical)

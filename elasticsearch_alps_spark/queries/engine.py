@@ -81,6 +81,7 @@ class SearchEngine:
         # unlimited match-count plan of the most recent query (for the
         # reference's total_hits stat, G3) — set by each query method
         self._last_total_df: Optional[DataFrame] = None
+        self._last_total_count: Optional[int] = None
 
     # ------------------------------------------------------------------ utils
 
@@ -119,6 +120,104 @@ class SearchEngine:
     def _empty_hits(self) -> DataFrame:
         return self.spark.createDataFrame([], "doc_id long, score double")
 
+    _HOT_DF_K = 50_000
+
+    def _postings_view(self, field: str) -> str:
+        """Register (once) the postings DataFrame as a temp view so driver
+        queries go through one spark.sql() call."""
+        views = getattr(self, "_views", None)
+        if views is None:
+            views = self._views = {}
+        if field not in views:
+            name = f"alps_postings_{abs(id(self))}_{field}"
+            self._postings[field].createOrReplaceTempView(name)
+            views[field] = name
+        return views[field]
+
+    def _hot_dfs(self, field: str) -> Tuple[Dict[str, int], int]:
+        """(top-K terms by df → df, ceiling df for every other term) — one
+        job at first use, then free per query."""
+        cached = getattr(self, "_hot_df_cache", None)
+        if cached is None:
+            cached = self._hot_df_cache = {}
+        if field not in cached:
+            rows = (self._term_stats[field]
+                    .orderBy(F.desc("df"), F.asc("term"))
+                    .limit(self._HOT_DF_K).select("term", "df").collect())
+            hot = {r["term"]: r["df"] for r in rows}
+            ceiling = min(hot.values()) if len(hot) >= self._HOT_DF_K else 0
+            # ceiling==0 means the dict holds the WHOLE vocabulary
+            cached[field] = (hot, ceiling)
+        return cached[field]
+
+    def _score_clauses_driver(self, field: str,
+                              clause_mults: List[Tuple[int, str, float]],
+                              required: int, size: int) -> Optional[DataFrame]:
+        """Hybrid serving path: ONE incremental Spark fetch of the term-pruned
+        postings (positions column never read), then BM25 + top-k in plain
+        Python on the driver — the same closed-form the oracle uses, so
+        scores are bit-identical to it. Returns None when the postings exceed
+        qcfg.driver_score_max_postings (caller falls back to the distributed
+        plan — the path a 10^9-df hot term takes at scale)."""
+        import numpy as np
+        budget = self.qcfg.driver_score_max_postings
+        if budget <= 0 or not clause_mults:
+            return None
+        terms = list({t for _, t, _ in clause_mults})
+        # O(1) budget check: upper-bound Σdf from the cached hot-term df dict
+        # (any term absent from the top-k dict has df ≤ the k-th df) — no
+        # Spark job spent deciding the path
+        hot, ceiling = self._hot_dfs(field)
+        est = sum(hot.get(t, ceiling) for t in terms)
+        if est > budget:
+            return None
+        # one SQL string (single py4j round trip, vs ~100 ms of Column-API
+        # chatter) + Arrow transfer
+        tl = ", ".join("'" + t.replace("'", "''") + "'" for t in terms)
+        pdf = self.spark.sql(
+            f"SELECT term, doc_id, freq, dl FROM {self._postings_view(field)} "
+            f"WHERE term IN ({tl})").toPandas()
+        if not len(pdf):
+            self._last_total_df = None
+            self._last_total_count = 0
+            return self._empty_hits()
+        n, avgdl = self._fstat(field)
+        k1, b = self.k1, self.b
+        one_minus_b = 1.0 - b
+        # df is exact: the fetch was complete (budget not tripped)
+        df_by_term = pdf["term"].value_counts()
+        weights: Dict[str, float] = {}
+        clause_terms: Dict[int, set] = {}
+        for cid, t, mult in clause_mults:
+            dfv = int(df_by_term.get(t, 0))
+            idf = math.log(1.0 + (n - dfv + 0.5) / (dfv + 0.5))
+            weights[t] = weights.get(t, 0.0) + mult * idf
+            clause_terms.setdefault(cid, set()).add(t)
+        w = pdf["term"].map(weights).to_numpy(dtype=np.float64)
+        freq = pdf["freq"].to_numpy(dtype=np.float64)
+        dl = pdf["dl"].to_numpy(dtype=np.float64)
+        contrib = w * (freq / (freq + k1 * (one_minus_b + b * dl / avgdl)))
+        docs = pdf["doc_id"].to_numpy(dtype=np.int64)
+        uniq, inv = np.unique(docs, return_inverse=True)
+        scores = np.zeros(len(uniq), dtype=np.float64)
+        np.add.at(scores, inv, contrib)
+        if required > 1:
+            nmatch = np.zeros(len(uniq), dtype=np.int32)
+            term_col = pdf["term"]
+            for cid, cterms in clause_terms.items():
+                mask = term_col.isin(cterms).to_numpy()
+                hit = np.zeros(len(uniq), dtype=bool)
+                hit[inv[mask]] = True
+                nmatch += hit
+            keep = nmatch >= required
+            uniq, scores = uniq[keep], scores[keep]
+        self._last_total_df = None
+        self._last_total_count = int(len(uniq))
+        order = np.lexsort((uniq, -scores))[:size]
+        return self.spark.createDataFrame(
+            [(int(uniq[i]), float(scores[i])) for i in order],
+            "doc_id long, score double")
+
     def _score_clauses_fused(self, field: str, clause_mults: List[Tuple[int, str, float]],
                              required: int, size: int) -> DataFrame:
         """Single-job variant of _score_clauses: idf computed inside the plan
@@ -147,6 +246,7 @@ class SearchEngine:
         if required > 1:
             agg = agg.filter(F.col("nmatch") >= required)
         self._last_total_df = agg
+        self._last_total_count = None
         return (agg.select("doc_id", "score")
                    .orderBy(F.desc("score"), F.asc("doc_id")).limit(size))
 
@@ -169,6 +269,7 @@ class SearchEngine:
         if required > 1:
             agg = agg.filter(F.col("nmatch") >= required)
         self._last_total_df = agg
+        self._last_total_count = None
         return (agg.select("doc_id", "score")
                    .orderBy(F.desc("score"), F.asc("doc_id")).limit(size))
 
@@ -193,8 +294,12 @@ class SearchEngine:
             required = max(1, int(math.floor(minimum_should_match / 100.0 * len(mult))))
         else:
             required = 1
+        clause_mults = [(i, t, float(k)) for i, (t, k) in enumerate(mult.items())]
+        if not self.qcfg.use_wand:
+            hits = self._score_clauses_driver("main", clause_mults, required, size)
+            if hits is not None:
+                return hits
         if self.qcfg.fused_stats and not self.qcfg.use_wand:
-            clause_mults = [(i, t, float(k)) for i, (t, k) in enumerate(mult.items())]
             return self._score_clauses_fused("main", clause_mults, required, size)
         dfs = self._df_lookup("main", list(mult))
         clauses = [(i, t, k * self.idf("main", dfs.get(t, 0)))
@@ -210,6 +315,7 @@ class SearchEngine:
         _, avgdl = self._fstat(field)
         src = self._field_src.get(field, field)
         self._last_total_df = None  # WAND prunes; full count unavailable (G3 note)
+        self._last_total_count = None
         return wand_topk(self.spark, self.paths.packed(src),
                          self.paths.field_dir(src), clauses, size,
                          self.k1, self.b, avgdl)
@@ -262,6 +368,7 @@ class SearchEngine:
                       .filter(F.col("freq") > 0.0)
                       .withColumn("score", F.lit(idf_sum) * self._tf_norm_col("main")))
         self._last_total_df = scored
+        self._last_total_count = None
         return (scored.select("doc_id", "score")
                       .orderBy(F.desc("score"), F.asc("doc_id")).limit(size))
 
@@ -273,6 +380,9 @@ class SearchEngine:
         if not is_single_word(text) or "exact" not in self._postings:
             return self._empty_hits()
         term = text.strip().lower()
+        hits = self._score_clauses_driver("exact", [(0, term, 1.0)], 1, size)
+        if hits is not None:
+            return hits
         if self.qcfg.fused_stats:
             return self._score_clauses_fused("exact", [(0, term, 1.0)], 1, size)
         dfs = self._df_lookup("exact", [term])
@@ -296,6 +406,7 @@ class SearchEngine:
                     .select("doc_id").distinct()
                     .withColumn("score", F.lit(1.0)))
         self._last_total_df = all_hits
+        self._last_total_count = None
         return all_hits.orderBy(F.asc("doc_id")).limit(size)
 
     def _fuzzy_expand(self, field: str, word: str) -> List[Tuple[str, float]]:
@@ -405,6 +516,9 @@ class SearchEngine:
         else:
             required = 1
         required = min(required, n_clauses) if n_clauses else required
+        hits = self._score_clauses_driver("main", clause_mults, required, size)
+        if hits is not None:
+            return hits
         if self.qcfg.fused_stats:
             return self._score_clauses_fused("main", clause_mults, required, size)
         dfs = self._df_lookup("main", [t for _, t, _ in clause_mults])
@@ -430,7 +544,9 @@ class SearchEngine:
         t0 = time.time()
         rows = hits_df.collect()
         total = len(rows)
-        if total > 0 and self._last_total_df is not None:
+        if total > 0 and self._last_total_count is not None:
+            total = self._last_total_count
+        elif total > 0 and self._last_total_df is not None:
             # the result was limit()ed — the reference reports the full match
             # count, capped at 10,000 (ES 7 track_total_hits default, G3)
             total = self._last_total_df.count()

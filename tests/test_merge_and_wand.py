@@ -92,7 +92,8 @@ def test_wand_identical_to_exhaustive(spark, built_index, q):
     """Block-max WAND pruning must be lossless (SURVEY.md §7.1 M6).
     Both engines use driver-side idf (fused_stats=False — WAND always does)."""
     exhaustive = SearchEngine(spark, built_index.root,
-                              QueryConfig(use_wand=False, fused_stats=False))
+                              QueryConfig(use_wand=False, fused_stats=False,
+                                          driver_score_max_postings=0))
     wand = SearchEngine(spark, built_index.root, QueryConfig(use_wand=True))
     want = _ranked(exhaustive.match_query(q).collect())
     got = _ranked(wand.match_query(q).collect())
@@ -101,7 +102,8 @@ def test_wand_identical_to_exhaustive(spark, built_index, q):
 
 def test_wand_small_k_prunes_consistently(spark, built_index):
     exhaustive = SearchEngine(spark, built_index.root,
-                              QueryConfig(use_wand=False, fused_stats=False))
+                              QueryConfig(use_wand=False, fused_stats=False,
+                                          driver_score_max_postings=0))
     wand = SearchEngine(spark, built_index.root, QueryConfig(use_wand=True))
     for k in (1, 5, 10):
         want = _ranked(exhaustive.match_query("def", size=k).collect())
@@ -112,8 +114,12 @@ def test_wand_small_k_prunes_consistently(spark, built_index):
 def test_fused_vs_driver_idf_same_docsets(spark, built_index):
     """Fused (JVM ln) vs driver-side (glibc ln) idf: same hit SET and scores
     to 1e-9 rel; ORDER may legitimately differ inside exact-tie clusters."""
-    fused = SearchEngine(spark, built_index.root, QueryConfig(fused_stats=True))
-    plain = SearchEngine(spark, built_index.root, QueryConfig(fused_stats=False))
+    fused = SearchEngine(spark, built_index.root,
+                         QueryConfig(fused_stats=True,
+                                     driver_score_max_postings=0))
+    plain = SearchEngine(spark, built_index.root,
+                         QueryConfig(fused_stats=False,
+                                     driver_score_max_postings=0))
     for q in ("def", "parse json config"):
         a = {r["doc_id"]: r["score"] for r in fused.match_query(q, size=10_000).collect()}
         b = {r["doc_id"]: r["score"] for r in plain.match_query(q, size=10_000).collect()}

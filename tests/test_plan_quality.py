@@ -14,9 +14,18 @@ def _formatted_plan(df):
     return df._jdf.queryExecution().explainString(mode)
 
 
+from elasticsearch_alps_spark.config import QueryConfig
+
+
 @pytest.fixture(scope="module")
 def engine(spark, built_index):
-    return SearchEngine(spark, built_index.root)
+    # plan tests target the DISTRIBUTED scoring plan against the PARQUET
+    # scan — clear any cache another test module pinned, else Spark swaps
+    # the scan for InMemoryTableScan and the PushedFilters assertions
+    # inspect the wrong node
+    spark.catalog.clearCache()
+    return SearchEngine(spark, built_index.root,
+                        QueryConfig(driver_score_max_postings=0))
 
 
 def test_match_query_plan(spark, engine):

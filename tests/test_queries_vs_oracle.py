@@ -26,7 +26,27 @@ QUERIES = [
 
 @pytest.fixture(scope="module")
 def engine(spark, built_index):
+    """Default config → hybrid driver serving path (budget not tripped at
+    this corpus size)."""
     return SearchEngine(spark, built_index.root, QueryConfig(), cache=True)
+
+
+@pytest.fixture(scope="module")
+def engine_dist(spark, built_index):
+    """Distributed scoring plan forced (driver path off)."""
+    return SearchEngine(spark, built_index.root,
+                        QueryConfig(driver_score_max_postings=0), cache=True)
+
+
+@pytest.mark.parametrize("q", ["def", "parse json config", "def main",
+                               "the value of the result"])
+def test_distributed_path_matches_oracle(engine_dist, oracle_index, q):
+    """The distributed plan must match the oracle too (the hybrid driver
+    path is separately covered by every other test in this module)."""
+    assert_hits_equal(engine_dist.match_query(q, "or"),
+                      oracle_index.match_query(q, "or"), f"dist_match[{q}]")
+    assert_hits_equal(engine_dist.match_query(q, "and"),
+                      oracle_index.match_query(q, "and"), f"dist_and[{q}]")
 
 
 def assert_hits_equal(spark_df, oracle_hits, what):

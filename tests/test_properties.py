@@ -1,0 +1,105 @@
+"""Property-based invariants (SURVEY.md §5 item 3) over random small corpora.
+
+Pure-Python (oracle-level) so hypothesis can run hundreds of examples without
+Spark jobs; the engine is proven equal to the oracle elsewhere, so oracle
+invariants transfer."""
+
+import string
+
+from hypothesis import given, settings, strategies as st
+
+from elasticsearch_alps_spark.analysis.analyzers import analyze, analyze_positions
+from elasticsearch_alps_spark.analysis.smallfloat import quantize_length
+from elasticsearch_alps_spark.config import IndexConfig, WEB_CONTENT_ANALYZER
+from elasticsearch_alps_spark.oracle import OracleIndex
+
+_WORDS = ["def", "import", "return", "the", "value", "parse", "json",
+          "config", "running", "cafés", "alpha", "beta", "gamma", "x1"]
+
+corpus_st = st.lists(
+    st.lists(st.sampled_from(_WORDS), min_size=1, max_size=30).map(" ".join),
+    min_size=2, max_size=25)
+
+query_st = st.lists(st.sampled_from(_WORDS), min_size=1, max_size=4).map(" ".join)
+
+
+def _index(texts):
+    return OracleIndex(list(enumerate(texts)), IndexConfig())
+
+
+@given(corpus_st, query_st)
+@settings(max_examples=150, deadline=None)
+def test_and_subset_of_or_and_phrase_subset_of_and(texts, q):
+    oi = _index(texts)
+    or_ids = {d for d, _ in oi.match_query(q, "or", size=10_000)}
+    and_ids = {d for d, _ in oi.match_query(q, "and", size=10_000)}
+    ph_ids = {d for d, _ in oi.match_phrase_query(q, 0, size=10_000)}
+    assert and_ids <= or_ids
+    assert ph_ids <= and_ids
+    # every hit's score is positive and finite
+    for _, s in oi.match_query(q, "or", size=10_000):
+        assert s > 0.0 and s == s
+
+
+@given(corpus_st, query_st, st.integers(min_value=0, max_value=3))
+@settings(max_examples=100, deadline=None)
+def test_slop_monotone(texts, q, slop):
+    """Increasing slop never loses hits."""
+    oi = _index(texts)
+    a = {d for d, _ in oi.match_phrase_query(q, slop, size=10_000)}
+    b = {d for d, _ in oi.match_phrase_query(q, slop + 1, size=10_000)}
+    assert a <= b
+
+
+@given(corpus_st, st.integers(min_value=1, max_value=100))
+@settings(max_examples=100, deadline=None)
+def test_msm_monotone(texts, pct):
+    """Raising minimum_should_match never adds hits; msm(100) on distinct
+    terms ≡ AND."""
+    oi = _index(texts)
+    q = "def import value"
+    lo = {d for d, _ in oi.match_query_msm(q, max(1, pct - 30), size=10_000)}
+    hi = {d for d, _ in oi.match_query_msm(q, pct, size=10_000)}
+    assert hi <= lo or max(1, pct - 30) == pct
+    and_ids = {d for d, _ in oi.match_query(q, "and", size=10_000)}
+    msm100 = {d for d, _ in oi.match_query_msm(q, 100, size=10_000)}
+    assert msm100 == and_ids
+
+
+@given(st.text(alphabet=string.printable, max_size=300))
+@settings(max_examples=300, deadline=None)
+def test_analyzer_total_and_positions_monotone(text):
+    """The analyzer never crashes on arbitrary input; positions are
+    non-decreasing; terms are non-empty and lowercase."""
+    out = analyze_positions(text, WEB_CONTENT_ANALYZER)
+    last = -1
+    for t, p in out:
+        assert t and t == t.lower()
+        assert p >= last
+        last = p
+
+
+@given(st.integers(min_value=0, max_value=2**31 - 1))
+@settings(max_examples=300, deadline=None)
+def test_smallfloat_contract(i):
+    q = quantize_length(i)
+    assert 0 <= q <= i
+    assert quantize_length(q) == q
+
+
+@given(corpus_st)
+@settings(max_examples=50, deadline=None)
+def test_oracle_merge_property(texts):
+    """Oracle-level merge≡rebuild: indexing A then B with offset ids equals
+    indexing A∪B (the engine-level version is test_merge_and_wand.py)."""
+    half = len(texts) // 2
+    full = _index(texts)
+    a = OracleIndex(list(enumerate(texts[:half])), IndexConfig())
+    b = OracleIndex([(half + i, t) for i, t in enumerate(texts[half:])],
+                    IndexConfig())
+    # df/cf recombination matches
+    for term, posting in full.main.postings.items():
+        da = len(a.main.postings.get(term, {}))
+        db = len(b.main.postings.get(term, {}))
+        assert da + db == len(posting), term
+    assert a.main.cf_total + b.main.cf_total == full.main.cf_total

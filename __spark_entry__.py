@@ -296,6 +296,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                     .orderBy(F.desc("cosine"), F.asc("id")))
     q["sx_ann_lsh"] = ann_lsh  # no SQL oracle: seeded numpy hyperplanes
 
+    def ann_ivf(s, sf):
+        e = emb_df(s, sf)
+        qv = e.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
+        hits = simsearch.ivf_topk(e, qv, k=10, n_centroids=8, n_probe=3)
+        return (hits.withColumn("cosine", F.round("cosine", 5))
+                    .orderBy(F.desc("cosine"), F.asc("id")))
+    q["sx_ann_ivf"] = ann_ivf  # no SQL oracle: numpy k-means centroids
+
     # ---- text analysis ----
     q["tx_text_stats"] = lambda s, sf: textstats.text_stats(
         docs_df(s, sf), "text", "doc_id").orderBy("id")
@@ -502,6 +510,37 @@ SELECT id, n_chars, n_tokens, n_bpe_tokens,
              + (1.0 - least(punct_ratio * 2.0, 1.0)) * 0.3
              + least(mean_tok / 5.0, 1.0) * 0.3, 6) AS quality_score
 FROM d ORDER BY id"""
+    # mirrors extras/textstats.language_id exactly: marker counts per
+    # language, winner = max by (count, tie=-ord(first letter), lang) —
+    # expressed as a rank window ordered the same way
+    o["tx_lang_id"] = r"""
+WITH base AS (
+  SELECT doc_id::BIGINT AS id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-zà-ÿ]+'),
+                     x -> x <> '') AS toks
+  FROM documents
+),
+counts AS (
+  SELECT id, len(toks)::DOUBLE AS n_tokens, lang, tie,
+         len(list_filter(toks, x -> list_contains(markers, x)))::BIGINT AS cnt
+  FROM base, (VALUES
+    ('de', -100, ['der','die','das','und','ist','nicht','ein','mit','für']),
+    ('en', -101, ['the','and','of','to','is','in','that','it','for']),
+    ('es', -101, ['el','la','los','que','es','en','por','una','para']),
+    ('fr', -102, ['le','la','les','et','est','pas','une','pour','dans'])
+  ) AS l(lang, tie, markers)
+),
+best AS (
+  SELECT id, n_tokens, lang, cnt,
+         row_number() OVER (PARTITION BY id
+                            ORDER BY cnt DESC, tie DESC, lang DESC) AS rn
+  FROM counts
+)
+SELECT id,
+       CASE WHEN cnt > 0 THEN lang ELSE 'unknown' END AS lang_guess,
+       ROUND(CASE WHEN n_tokens > 0 THEN cnt::DOUBLE / n_tokens
+                  ELSE 0.0 END, 6) AS lang_score
+FROM best WHERE rn = 1 ORDER BY id"""
     o["tx_fingerprint"] = r"""
 SELECT doc_id::BIGINT AS id,
        md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint

@@ -57,6 +57,63 @@ def hyperplane_buckets(emb: DataFrame, n_planes: int = 8, seed: int = 42,
     return emb.withColumn("lsh_bucket", bucket)
 
 
+def ivf_fit_centroids(emb: DataFrame, n_centroids: int = 16, iters: int = 5,
+                      sample: int = 10_000, seed: int = 42,
+                      vec_col: str = "embedding") -> np.ndarray:
+    """Deterministic coarse quantizer: Lloyd's k-means on a driver-side
+    sample (kmeans++-lite seeded init). At 100 TB the sample is what you fit
+    on anyway; assignment stays distributed."""
+    rows = emb.select(vec_col).limit(sample).collect()
+    x = np.asarray([list(r[0]) for r in rows], dtype=np.float64)
+    rng = np.random.RandomState(seed)
+    idx = rng.choice(len(x), size=min(n_centroids, len(x)), replace=False)
+    cent = x[idx].copy()
+    for _ in range(iters):
+        d = ((x[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        for c in range(len(cent)):
+            members = x[assign == c]
+            if len(members):
+                cent[c] = members.mean(axis=0)
+    return cent
+
+
+def ivf_assign(emb: DataFrame, centroids: np.ndarray,
+               vec_col: str = "embedding") -> DataFrame:
+    """Add ``ivf_cell`` = nearest-centroid index — pure Catalyst (k distance
+    expressions + array_position of the min), no Python per row."""
+    dists = []
+    for c in centroids:
+        cl = F.array(*[F.lit(float(v)) for v in c])
+        d = F.aggregate(F.zip_with(F.col(vec_col), cl,
+                                   lambda x, y: (x.cast("double") - y)
+                                   * (x.cast("double") - y)),
+                        F.lit(0.0), lambda acc, v: acc + v)
+        dists.append(d)
+    arr = F.array(*dists)
+    cell = (F.array_position(arr, F.array_min(arr)) - 1).cast("int")
+    return emb.withColumn("ivf_cell", cell)
+
+
+def ivf_topk(emb: DataFrame, query_vec: Sequence[float], k: int = 10,
+             n_centroids: int = 16, n_probe: int = 4, iters: int = 5,
+             seed: int = 42, id_col: str = "vec_id",
+             vec_col: str = "embedding",
+             centroids: np.ndarray = None) -> DataFrame:
+    """IVF approximate top-k: score only vectors in the ``n_probe`` cells
+    nearest the query; exact cosine re-ranking on the candidates. Probing
+    all cells degrades gracefully to exact brute force."""
+    if centroids is None:
+        centroids = ivf_fit_centroids(emb, n_centroids, iters, seed=seed,
+                                      vec_col=vec_col)
+    q = np.asarray(query_vec, dtype=np.float64)
+    d = ((centroids - q[None, :]) ** 2).sum(axis=1)
+    probe_cells = [int(c) for c in np.argsort(d)[:n_probe]]
+    assigned = ivf_assign(emb, centroids, vec_col)
+    cand = assigned.filter(F.col("ivf_cell").isin(probe_cells))
+    return brute_force_topk(cand, query_vec, k, id_col, vec_col)
+
+
 def lsh_topk(emb: DataFrame, query_vec: Sequence[float], k: int = 10,
              n_planes: int = 8, n_probes: int = 4, seed: int = 42,
              id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:

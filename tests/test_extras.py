@@ -10,7 +10,9 @@ from elasticsearch_alps_spark.extras.dedup import (
 from elasticsearch_alps_spark.extras.multimodal import (
     attach_media_metadata, decode_media, frame_sample,
 )
-from elasticsearch_alps_spark.extras.simsearch import brute_force_topk, lsh_topk
+from elasticsearch_alps_spark.extras.simsearch import (
+    brute_force_topk, ivf_topk, lsh_topk,
+)
 from elasticsearch_alps_spark.extras.textstats import (
     fingerprint_md5, language_id, rolling_hash_fingerprint, text_stats,
 )
@@ -95,6 +97,24 @@ class TestSimSearch:
         full = [r["id"] for r in
                 lsh_topk(emb, qv, 10, n_planes=4, n_probes=16).collect()]
         assert full == brute
+
+    def test_ivf_full_probe_equals_brute(self, spark):
+        """Probing all cells must reproduce exact brute force."""
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        qv = emb.filter(F.col("vec_id") == 11).first()["embedding"]
+        brute = [r["id"] for r in brute_force_topk(emb, qv, 10).collect()]
+        full = [r["id"] for r in
+                ivf_topk(emb, qv, 10, n_centroids=8, n_probe=8).collect()]
+        assert full == brute
+
+    def test_ivf_probe_subset_and_recall(self, spark):
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        qv = emb.filter(F.col("vec_id") == 11).first()["embedding"]
+        brute = {r["id"] for r in brute_force_topk(emb, qv, 10).collect()}
+        approx = {r["id"] for r in
+                  ivf_topk(emb, qv, 10, n_centroids=8, n_probe=4).collect()}
+        assert 11 in approx            # own cell always probed
+        assert len(brute & approx) >= 3
 
     def test_lsh_recall_vs_brute(self, spark):
         emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")

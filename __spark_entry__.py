@@ -168,9 +168,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from elasticsearch_alps_spark.extras import dedup, simsearch, textstats
 
     def docs_df(spark, sf):
+        ship_package(spark)  # extras use Arrow UDFs — workers need the package
         return spark.read.parquet(os.path.join(sf, "documents.parquet"))
 
     def emb_df(spark, sf):
+        ship_package(spark)
         return spark.read.parquet(os.path.join(sf, "embeddings.parquet"))
 
     # ---- full-text engine (SURVEY.md §2.7 Q1-Q11) ----

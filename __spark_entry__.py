@@ -49,8 +49,12 @@ def _index_paths(spark: SparkSession, sf_dir: str) -> IndexPaths:
     if key not in _PATHS:
         ship_package(spark)
         out = os.path.join("/tmp/alps_gate_idx", key.strip("/").replace("/", "_"))
+        # truncate_chars raised so the oracle SQL (which tokenizes RAW text)
+        # cannot diverge if a driver-generated doc ever exceeds the default
+        # 100k-char P4 truncation (ADVICE.md round 1)
         cfg = IndexConfig(analyzer=SIMPLE_ANALYZER, exact_analyzer=SIMPLE_ANALYZER,
-                          quantize_norms=False, build_packed=False)
+                          quantize_norms=False, build_packed=False,
+                          truncate_chars=10**9)
         docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
         _PATHS[key] = build_index(spark, docs, out, cfg, text_col="text",
                                   doc_id_col="doc_id", id_cols=("doc_id",),
@@ -128,10 +132,12 @@ def _sql_phrase(terms: list, k: int) -> str:
     for i, t in enumerate(terms[1:], 1):
         joins.append(f"JOIN tok t{i} ON t{i}.doc_id = t0.doc_id "
                      f"AND t{i}.pos = t0.pos + {i} AND t{i}.term = '{terms[i]}'")
+    # Lucene PhraseWeight sums idf PER TERM OCCURRENCE (a repeated term
+    # contributes twice) — iterate terms, not dict.fromkeys (ADVICE.md r1)
     idf_sum = " + ".join(
         f"(SELECT ln(1.0 + (cs.n - df + 0.5) / (df + 0.5)) "
         f"FROM tstat, cs WHERE term = '{t}')"
-        for t in dict.fromkeys(terms))
+        for t in terms)
     return f"""{_PRELUDE},
 pf AS (
   SELECT t0.doc_id, count(*)::DOUBLE AS freq
@@ -145,6 +151,200 @@ SELECT pf.doc_id,
          AS score
 FROM pf JOIN dl USING (doc_id) CROSS JOIN cs
 ORDER BY 2 DESC, 1 ASC LIMIT {k}"""
+
+
+# --------------------------------------------- extras-oracle SQL generators
+#
+# r2: the four r1 `no_oracle` gates (dx_minhash_lsh, dx_simhash, sx_ann_lsh,
+# sx_ann_ivf) are now DuckDB-checkable. Hashing is md5-derived 60-bit ints
+# (Spark conv(substr(md5,1,15),16,10) ≡ DuckDB ('0x'||substr(md5,1,15))::BIGINT)
+# with Mersenne-31 universal-hash arithmetic that fits signed 64-bit on both
+# sides. Float quantities that gate DISCRETE decisions (LSH bucket signs,
+# probe ordering, IVF cell argmin) are emitted as EXPLICIT left-to-right sums
+# so they reproduce Spark's F.aggregate fold bit-for-bit; the final cosine
+# re-rank tolerates ulp noise via ROUND(...,5) on both sides.
+
+_TOKS_CTE = """
+WITH toks AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'),
+                             x -> x <> '') AS arr
+  FROM documents
+)"""
+
+
+def _sql_minhash_lsh(num_hashes: int, bands: int, shingle_n: int,
+                     threshold: float, seed: int, k_round: int = 6) -> str:
+    from elasticsearch_alps_spark.extras.dedup import minhash_params
+    a, b = minhash_params(num_hashes, seed)
+    rpb = num_hashes // bands
+    params = ", ".join(f"({i}, {a[i]}, {b[i]})" for i in range(num_hashes))
+    n = shingle_n
+    gram = " || ' ' || ".join(f"arr[i+{j}]" for j in range(n))
+    return f"""{_TOKS_CTE},
+sh AS (
+  SELECT doc_id, {gram} AS shingle
+  FROM toks, UNNEST(generate_series(1, len(arr) - {n - 1})) u(i)
+  WHERE len(arr) >= {n}
+  UNION
+  SELECT doc_id, array_to_string(arr, ' ') AS shingle
+  FROM toks WHERE len(arr) BETWEEN 1 AND {n - 1}
+),
+hm AS (SELECT doc_id, (('0x' || substr(md5(shingle), 1, 15))::BIGINT)
+                      % 2147483647 AS hm FROM sh),
+params(i, a, b) AS (VALUES {params}),
+sig AS (SELECT doc_id, i, min((a * hm + b) % 2147483647) AS m
+        FROM hm, params GROUP BY doc_id, i),
+bands AS (SELECT doc_id, i // {rpb} AS band,
+                 string_agg(m::VARCHAR, '_' ORDER BY i) AS bucket
+          FROM sig GROUP BY doc_id, i // {rpb}),
+cand AS (SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib
+         FROM bands a JOIN bands b
+           ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+est AS (SELECT ia, ib,
+               sum(CASE WHEN sa.m = sb.m THEN 1 ELSE 0 END)::DOUBLE
+                 / {float(num_hashes)} AS est_jaccard
+        FROM cand JOIN sig sa ON sa.doc_id = ia
+                  JOIN sig sb ON sb.doc_id = ib AND sb.i = sa.i
+        GROUP BY ia, ib)
+SELECT ia::BIGINT AS id_a, ib::BIGINT AS id_b,
+       ROUND(est_jaccard, {k_round}) AS est_jaccard
+FROM est WHERE est_jaccard >= {threshold} ORDER BY id_a, id_b"""
+
+
+def _sql_simhash(max_hamming: int) -> str:
+    return f"""{_TOKS_CTE},
+tok AS (SELECT doc_id, unnest(arr) AS tok FROM toks),
+h AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM tok),
+acc AS (SELECT doc_id, j, sum((((h >> j) & 1) * 2 - 1)) AS v
+        FROM h, (SELECT unnest(generate_series(0, 59)) AS j) js
+        GROUP BY doc_id, j),
+fp AS (SELECT doc_id,
+              sum(CASE WHEN v > 0 THEN (1::BIGINT << j) ELSE 0 END)::BIGINT
+                AS simhash
+       FROM acc GROUP BY doc_id),
+bands AS (SELECT doc_id, simhash, i AS band,
+                 ((simhash >> (15 * i)) & 32767) AS bucket
+          FROM fp, (SELECT unnest(generate_series(0, 3)) AS i) bs),
+cand AS (SELECT DISTINCT a.doc_id AS ia, a.simhash AS ha,
+                         b.doc_id AS ib, b.simhash AS hb
+         FROM bands a JOIN bands b
+           ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id)
+SELECT ia::BIGINT AS id_a, ib::BIGINT AS id_b,
+       bit_count(xor(ha, hb))::BIGINT AS hamming
+FROM cand WHERE bit_count(xor(ha, hb)) <= {max_hamming}
+ORDER BY id_a, id_b"""
+
+
+def _seq_weighted_sum(vec_expr: str, weights, dim: int) -> str:
+    """Explicit left-to-right `v[1]*w1 + v[2]*w2 + ...` — SQL's left-assoc
+    `+` reproduces Spark's F.aggregate sequential fold bit-for-bit."""
+    return " + ".join(f"({vec_expr}[{i + 1}]::DOUBLE * {float(weights[i])!r})"
+                      for i in range(dim))
+
+
+def _seq_sqdist(vec_expr: str, center, dim: int) -> str:
+    return " + ".join(
+        f"(({vec_expr}[{i + 1}]::DOUBLE - {float(center[i])!r}) * "
+        f"({vec_expr}[{i + 1}]::DOUBLE - {float(center[i])!r}))"
+        for i in range(dim))
+
+
+_COS = """list_sum(list_transform(generate_series(1, len({v}.embedding)),
+              i -> {v}.embedding[i]::DOUBLE * q.qv[i]::DOUBLE))
+          / (sqrt(list_sum(list_transform({v}.embedding,
+                 x -> x::DOUBLE * x::DOUBLE))) * q.qn)"""
+
+
+def _sql_ann_lsh(n_planes: int, n_probes: int, seed: int, dim: int,
+                 k: int) -> str:
+    import numpy as np
+    planes = np.random.RandomState(seed).standard_normal((n_planes, dim))
+    qd = ",\n         ".join(
+        f"({_seq_weighted_sum('q.qv', planes[j], dim)}) AS d{j}"
+        for j in range(n_planes))
+    qbucket = " + ".join(f"CASE WHEN d{j} > 0 THEN {1 << j} ELSE 0 END"
+                         for j in range(n_planes))
+    cost = " + ".join(f"(abs(qd.d{j}) * (((m.mask >> {j}) & 1))::DOUBLE)"
+                      for j in range(n_planes))
+    vbucket = " + ".join(
+        f"CASE WHEN ({_seq_weighted_sum('e.embedding', planes[j], dim)}) > 0 "
+        f"THEN {1 << j} ELSE 0 END" for j in range(n_planes))
+    return f"""
+WITH q AS (
+  SELECT embedding AS qv,
+         sqrt(list_sum(list_transform(embedding,
+              x -> x::DOUBLE * x::DOUBLE))) AS qn
+  FROM embeddings WHERE vec_id = 0
+),
+qd AS (SELECT {qd}, q.qv, q.qn FROM q),
+probes AS (
+  SELECT xor(({qbucket}), m.mask) AS bucket
+  FROM qd, (SELECT unnest(generate_series(0, {(1 << n_planes) - 1})) AS mask) m
+  ORDER BY ({cost}), m.mask
+  LIMIT {n_probes}
+),
+vb AS (
+  SELECT e.vec_id::BIGINT AS id, e.embedding, ({vbucket}) AS bucket
+  FROM embeddings e
+),
+scored AS (
+  SELECT c.id, {_COS.format(v='c')} AS cosine
+  FROM (SELECT vb.* FROM vb JOIN probes USING (bucket)) c CROSS JOIN q
+)
+SELECT id, ROUND(cosine, 5) AS cosine FROM scored
+ORDER BY ROUND(cosine, 5) DESC, id ASC LIMIT {k}"""
+
+
+def _ivf_oracle_centroids(sf_dir: str, n_centroids: int, iters: int,
+                          sample: int, seed: int):
+    """Refit the gate's IVF centroids from the SAME rows ivf_fit_centroids
+    uses (ORDER BY vec_id LIMIT sample) with the SAME numpy code — bit-equal
+    float64 centroids, inlined as literals into the oracle SQL."""
+    import duckdb
+    import numpy as np
+    from elasticsearch_alps_spark.extras.simsearch import kmeans_fit
+    rows = duckdb.sql(
+        f"SELECT embedding FROM read_parquet('{sf_dir}/embeddings.parquet') "
+        f"ORDER BY vec_id LIMIT {sample}").fetchall()
+    x = np.asarray([list(r[0]) for r in rows], dtype=np.float64)
+    return kmeans_fit(x, n_centroids, iters, seed)
+
+
+def _sql_ann_ivf(sf_dir: str, n_centroids: int, n_probe: int, k: int,
+                 iters: int = 5, sample: int = 10_000, seed: int = 42) -> str:
+    cent = _ivf_oracle_centroids(sf_dir, n_centroids, iters, sample, seed)
+    dim = cent.shape[1]
+    # per-vector distance list → cell = first argmin (list_position of min),
+    # matching Spark's array_position(arr, array_min(arr)) - 1
+    vdists = ", ".join(f"({_seq_sqdist('e.embedding', cent[c], dim)})"
+                       for c in range(n_centroids))
+    qdists = ", ".join(f"({_seq_sqdist('q.qv', cent[c], dim)})"
+                       for c in range(n_centroids))
+    return f"""
+WITH q AS (
+  SELECT embedding AS qv,
+         sqrt(list_sum(list_transform(embedding,
+              x -> x::DOUBLE * x::DOUBLE))) AS qn
+  FROM embeddings WHERE vec_id = 0
+),
+probe AS (
+  SELECT cell FROM (
+    SELECT u.cell, dl[u.cell + 1] AS dist
+    FROM (SELECT [{qdists}] AS dl FROM q) d,
+         (SELECT unnest(generate_series(0, {n_centroids - 1})) AS cell) u
+  ) ORDER BY dist, cell LIMIT {n_probe}
+),
+va AS (
+  SELECT e.vec_id::BIGINT AS id, e.embedding,
+         (list_position(dl, list_min(dl)) - 1) AS cell
+  FROM (SELECT *, [{vdists}] AS dl FROM embeddings e) e
+),
+scored AS (
+  SELECT c.id, {_COS.format(v='c')} AS cosine
+  FROM (SELECT va.* FROM va JOIN probe USING (cell)) c CROSS JOIN q
+)
+SELECT id, ROUND(cosine, 5) AS cosine FROM scored
+ORDER BY ROUND(cosine, 5) DESC, id ASC LIMIT {k}"""
 
 
 # ----------------------------------------------------------------- the gate
@@ -271,10 +471,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         dedup.minhash_lsh_pairs(docs_df(s, sf), "text", "doc_id",
                                 threshold=0.05)
         .select("id_a", "id_b", F.round("est_jaccard", 6).alias("est_jaccard"))
-        .orderBy("id_a", "id_b"))  # no SQL oracle: Spark murmur3 band hashes
+        .orderBy("id_a", "id_b"))
     q["dx_simhash"] = lambda s, sf: (
         dedup.simhash_pairs(docs_df(s, sf), "text", "doc_id", max_hamming=8)
-        .orderBy("id_a", "id_b"))  # no SQL oracle: FNV64 bit math
+        .select("id_a", "id_b", F.col("hamming").cast("long").alias("hamming"))
+        .orderBy("id_a", "id_b"))
     q["dx_embed_cosine"] = lambda s, sf: (
         dedup.embedding_cosine_pairs(emb_df(s, sf), "vec_id", "embedding",
                                      threshold=0.9)
@@ -290,21 +491,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                     .orderBy(F.desc("cosine"), F.asc("id")).limit(10))
     q["sx_ann_bruteforce"] = ann_brute
 
+    # approximate paths fetch ALL bucket-pruned candidates (k=_BIG), then
+    # re-rank by (ROUND(cos,5) DESC, id) — the same tie-cut the oracle makes
     def ann_lsh(s, sf):
         e = emb_df(s, sf)
         qv = e.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
-        hits = simsearch.lsh_topk(e, qv, k=10)
+        hits = simsearch.lsh_topk(e, qv, k=_BIG)
         return (hits.withColumn("cosine", F.round("cosine", 5))
-                    .orderBy(F.desc("cosine"), F.asc("id")))
-    q["sx_ann_lsh"] = ann_lsh  # no SQL oracle: seeded numpy hyperplanes
+                    .orderBy(F.desc("cosine"), F.asc("id")).limit(10))
+    q["sx_ann_lsh"] = ann_lsh
 
     def ann_ivf(s, sf):
         e = emb_df(s, sf)
         qv = e.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
-        hits = simsearch.ivf_topk(e, qv, k=10, n_centroids=8, n_probe=3)
+        hits = simsearch.ivf_topk(e, qv, k=_BIG, n_centroids=8, n_probe=3)
         return (hits.withColumn("cosine", F.round("cosine", 5))
-                    .orderBy(F.desc("cosine"), F.asc("id")))
-    q["sx_ann_ivf"] = ann_ivf  # no SQL oracle: numpy k-means centroids
+                    .orderBy(F.desc("cosine"), F.asc("id")).limit(10))
+    q["sx_ann_ivf"] = ann_ivf
 
     # ---- text analysis ----
     q["tx_text_stats"] = lambda s, sf: textstats.text_stats(
@@ -445,6 +648,17 @@ SELECT ia::BIGINT AS id_a, ib::BIGINT AS id_b,
 FROM pairs JOIN n na ON na.doc_id = ia JOIN n nb ON nb.doc_id = ib
 WHERE common::DOUBLE / (na.n_sh + nb.n_sh - common)::DOUBLE >= 0.05
 ORDER BY id_a, id_b"""
+    # defaults of minhash_lsh_pairs / simhash_pairs, thresholds as in queries()
+    o["dx_minhash_lsh"] = _sql_minhash_lsh(num_hashes=64, bands=16,
+                                           shingle_n=3, threshold=0.05,
+                                           seed=42)
+    o["dx_simhash"] = _sql_simhash(max_hamming=8)
+    # lsh_topk / ivf_topk defaults; centroids refit from the sf0.01 parquet
+    # the driver compares against (deterministic: ORDER BY vec_id sample)
+    _gate_sf = os.environ.get("GATE_SF", "/root/testdata/sf0.01")
+    o["sx_ann_lsh"] = _sql_ann_lsh(n_planes=8, n_probes=4, seed=42, dim=64,
+                                   k=10)
+    o["sx_ann_ivf"] = _sql_ann_ivf(_gate_sf, n_centroids=8, n_probe=3, k=10)
     o["dx_embed_cosine"] = """
 WITH e AS (
   SELECT vec_id::BIGINT AS id, embedding,

@@ -85,6 +85,7 @@ def main() -> None:
         wand = SearchEngine(spark, paths.root, QueryConfig(use_wand=True))
         eng.match_query("def").collect()  # warm caches / JVM
         lat_ms = []
+        by_type: dict[str, list] = {"match": [], "phrase": [], "fuzzy": []}
         for i, q in enumerate(REFERENCE_QUERIES):
             for qtype, fn in (("match", lambda t: eng.match_query(t)),
                               ("phrase", lambda t: eng.match_phrase_query(t)),
@@ -92,14 +93,22 @@ def main() -> None:
                 t0 = time.time()
                 fn(q).collect()
                 dt = time.time() - t0
-                queries[f"{qtype}:{q[:24]}"] = round(dt, 4)
+                by_type[qtype].append(dt)
                 lat_ms.append(dt * 1000)
         # WAND match path on the hottest terms
+        wand_s = []
         for q in ("def", "import", "parse json config"):
             t0 = time.time()
             wand.match_query(q).collect()
-            queries[f"wand:{q[:24]}"] = round(time.time() - t0, 4)
+            wand_s.append(time.time() - t0)
 
+        # keep the JSON line SHORT (driver tail-buffers stdout; the r1
+        # per-query dict overflowed it) — per-type aggregates only
+        for qtype, ts in by_type.items():
+            queries[f"{qtype}_p50"] = round(statistics.median(ts), 4)
+            queries[f"{qtype}_max"] = round(max(ts), 4)
+        queries["wand_p50"] = round(statistics.median(wand_s), 4)
+        queries["n_queries"] = len(lat_ms)
         p50 = statistics.median(lat_ms)
         total = time.time() - t_total0
         print(json.dumps({
@@ -112,7 +121,7 @@ def main() -> None:
             "indexed_docs": indexed,
             "query_p50_ms": round(p50, 2),
             "cpus": cpus,
-        }))
+        }, separators=(",", ":")))
     finally:
         spark.stop()
         shutil.rmtree(out, ignore_errors=True)

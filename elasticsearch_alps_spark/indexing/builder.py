@@ -29,6 +29,7 @@ import json
 import math
 import os
 import time
+from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass
 from typing import Iterable, List, Optional, Sequence
 
@@ -110,9 +111,11 @@ def upsert_by_id(df: DataFrame, id_cols: Sequence[str],
 
 def normalize_documents(df: DataFrame, text_col: str, cfg: IndexConfig,
                         id_cols: Sequence[str], doc_id_col: Optional[str],
-                        shards: Optional[int] = None) -> DataFrame:
+                        shards: Optional[int] = None):
     """P1 empty-text filter (index.py:395-396), P4 >100k-char truncation
-    (index.py:421-422), sha256 invariant column, dense docID assignment."""
+    (index.py:421-422), sha256 invariant column, dense docID assignment.
+    Returns ``(df, release)`` — ``release`` unpins the docID-assignment cache
+    once the caller's write has materialized (None when doc_id_col given)."""
     c = F.col(text_col)
     # "contains a non-whitespace char" — matches the reference's pandas
     # `str.strip() != ''` (Spark's trim() only strips spaces, not \n/\t)
@@ -125,11 +128,12 @@ def normalize_documents(df: DataFrame, text_col: str, cfg: IndexConfig,
                F.concat(F.substring(c, 1, limit), F.lit("... [TRUNCATED]")))
          .otherwise(c))
     out = out.drop(text_col).withColumnRenamed("_content", text_col)
+    release = None
     if doc_id_col:
         out = out.withColumn("doc_id", F.col(doc_id_col).cast("long"))
     else:
-        out = assign_dense_doc_ids(out, list(id_cols), shards)
-    return out
+        out, release = assign_dense_doc_ids(out, list(id_cols), shards)
+    return out, release
 
 
 def _lineage_path(paths: IndexPaths, stage: str) -> str:
@@ -195,29 +199,43 @@ def _build_field(spark: SparkSession, n_docs: int, src: DataFrame,
                     .agg(F.count("*").alias("freq"),
                          F.sort_array(F.collect_list("pos")).alias("positions"),
                          F.first("dl").alias("dl")))
+    # NOTE: observe() on this plan would double-count — the range exchange's
+    # sampling pass flows every row through the accumulator-backed
+    # CollectMetrics node a second time. Measured: cf_total came back exactly
+    # 2×. Hence the explicit single-column aggregation job below instead.
     (postings.repartitionByRange(shards, "term", "doc_id")
              .sortWithinPartitions("term", "doc_id")
              .write.mode("overwrite").option("compression", "zstd").parquet(paths.postings(field)))
 
-    written = spark.read.parquet(paths.postings(field))
-    (written.groupBy("term")
-            .agg(F.count("*").alias("df"), F.sum("freq").alias("cf"))
-            .repartitionByRange(max(1, shards // 4), "term")
-            .sortWithinPartitions("term")
-            .write.mode("overwrite").option("compression", "zstd").parquet(paths.term_stats(field)))
-
-    # collection stats: N counts every indexed doc (even zero-token ones —
-    # Lucene docCount counts docs with the field); avgdl = cf_total / N exact.
-    # Derived from the docs store + term_stats (no second tokenize pass).
-    cf_row = (spark.read.parquet(paths.term_stats(field))
-              .agg(F.sum("cf").alias("cf")).collect()[0])
-    cf_total = int(cf_row["cf"] or 0)
+    # N counts every indexed doc (even zero-token ones — Lucene docCount
+    # counts docs with the field); avgdl = cf_total / N exact. One cheap
+    # column-pruned scan of the written postings (freq only).
+    cf_total = int(spark.read.parquet(paths.postings(field))
+                   .agg(F.sum("freq").alias("cf")).collect()[0]["cf"] or 0)
     avgdl = cf_total / n_docs if n_docs else 0.0
     stats = {"n_docs": n_docs, "cf_total": cf_total, "avgdl": avgdl,
              "analyzer": analyzer.name()}
 
+    written = spark.read.parquet(paths.postings(field))
+
+    def _write_term_stats() -> None:
+        (written.groupBy("term")
+                .agg(F.count("*").alias("df"), F.sum("freq").alias("cf"))
+                .repartitionByRange(max(1, shards // 4), "term")
+                .sortWithinPartitions("term")
+                .write.mode("overwrite").option("compression", "zstd")
+                .parquet(paths.term_stats(field)))
+
     if build_packed:
-        _build_packed(spark, written, paths, field, cfg, avgdl, n_docs)
+        # term_stats and packed blocks both derive from the written postings
+        # and are independent — overlap their jobs so the small term_stats
+        # shuffle fills scheduler gaps of the packing pass
+        with ThreadPoolExecutor(max_workers=1) as pool:
+            ts_fut = pool.submit(_write_term_stats)
+            _build_packed(spark, written, paths, field, cfg, avgdl, n_docs)
+            ts_fut.result()
+    else:
+        _write_term_stats()
 
     # per-partition metrics alongside the shards (north_star lineage)
     part_metrics = [
@@ -317,12 +335,14 @@ def build_index(spark: SparkSession, docs_df: DataFrame, out_dir: str,
 
     t0 = time.time()
     if not (resume and _stage_done(paths, "docs", config_key)):
-        norm = normalize_documents(docs_df, text_col, cfg, id_cols, doc_id_col,
-                                   shards)
+        norm, release = normalize_documents(docs_df, text_col, cfg, id_cols,
+                                            doc_id_col, shards)
         # dense-ID assignment leaves rows range-partitioned and ordered by the
         # key == docID order, so each output file already covers a contiguous
         # docID range (min/max pruning works) — no second shuffle needed
         norm.write.mode("overwrite").option("compression", "zstd").parquet(paths.docs)
+        if release is not None:
+            release()  # unpin the docID-assignment cache (ADVICE.md r1)
         _write_lineage(paths, "docs", {"config_key": config_key,
                                        "elapsed_sec": round(time.time() - t0, 3)})
     n_shards = shards or cfg.number_of_shards or spark.sparkContext.defaultParallelism
@@ -371,18 +391,36 @@ def build_index(spark: SparkSession, docs_df: DataFrame, out_dir: str,
         src_exact = src_main
         kind = "posts"
 
-    field_stats["main"] = _build_field(
-        spark, n_docs, src_main, kind, paths, "main", cfg.analyzer, cfg,
-        n_shards, config_key, resume, build_packed=cfg.build_packed)
-    if same_analyzer:
-        # text.exact has the identical analysis chain → alias, don't rebuild
-        field_stats["exact"] = {**field_stats["main"], "alias": "main"}
-    elif cfg.exact_analyzer is not None:
-        # packed blocks exist for WAND, which only runs on the main field —
-        # don't pay the packing cost for text.exact
-        field_stats["exact"] = _build_field(
-            spark, n_docs, src_exact, kind, paths, "exact", cfg.exact_analyzer,
-            cfg, n_shards, config_key, resume, build_packed=False)
+    if dual and cached is not None:
+        # materialize the shared analyzer pass ONCE before the concurrent
+        # field builds — two threads hitting an unmaterialized persist would
+        # both compute every partition of the (dominant-cost) tokenize stage
+        cached.count()
+        # the two field builds are independent jobs over the cached postings —
+        # overlap them so the exact field's shuffle/write fills the straggler
+        # tail of the main field's stages (round-2 scaling work)
+        with ThreadPoolExecutor(max_workers=1) as pool:
+            exact_fut = pool.submit(
+                _build_field, spark, n_docs, src_exact, kind, paths, "exact",
+                cfg.exact_analyzer, cfg, n_shards, config_key, resume, False)
+            field_stats["main"] = _build_field(
+                spark, n_docs, src_main, kind, paths, "main", cfg.analyzer,
+                cfg, n_shards, config_key, resume, cfg.build_packed)
+            # packed blocks exist for WAND, which only runs on the main
+            # field — the exact field skips the packing cost
+            field_stats["exact"] = exact_fut.result()
+    else:
+        field_stats["main"] = _build_field(
+            spark, n_docs, src_main, kind, paths, "main", cfg.analyzer, cfg,
+            n_shards, config_key, resume, build_packed=cfg.build_packed)
+        if same_analyzer:
+            # text.exact has the identical analysis chain → alias, don't rebuild
+            field_stats["exact"] = {**field_stats["main"], "alias": "main"}
+        elif cfg.exact_analyzer is not None:
+            field_stats["exact"] = _build_field(
+                spark, n_docs, src_exact, kind, paths, "exact",
+                cfg.exact_analyzer, cfg, n_shards, config_key, resume,
+                build_packed=False)
     if cached is not None:
         cached.unpersist()
 

@@ -6,37 +6,61 @@ deterministic ``long`` docIDs for delta-compressed postings and reproducible
 top-k tie-breaks (SURVEY.md §7.0): global rank ordered by the unique key
 columns (default ``repo, path, commit``).
 
-Scalable pattern (no global single-partition window): range-repartition by the
-key, rank *within* each partition, then add per-partition offsets computed
-from a small count job. The input is persisted between the two jobs so the
-sampled range boundaries cannot shift.
+Scalable pattern, ONE shuffle total (round-2 rework — the round-1 version
+added a second full shuffle because ``Window.partitionBy(_pid)`` hash-
+repartitions data that is already range-partitioned):
+
+1. ``repartitionByRange(key)`` + ``sortWithinPartitions(key)`` — the only
+   exchange; also the final on-disk order (contiguous docID ranges per file).
+2. ``monotonically_increasing_id()`` projected ABOVE the sort (it is a
+   nondeterministic expression, so Catalyst cannot reorder it below) encodes
+   ``partition_id << 33 | local_row_number`` — a free within-partition rank.
+3. persist, then one cheap job collects per-partition counts → cumulative
+   offsets, broadcast-joined back (map-side, preserves partitioning/order).
+
+``doc_id = local_row_number + offset[partition]`` is the exact global rank.
+Determinism: the key is unique, so the within-partition sort order is stable;
+shuffle files outlive the job, so a recomputed cached block re-reads the same
+shuffle partition and reproduces the same ids.
+
+Returns ``(df, release)`` — call ``release()`` once the downstream write has
+materialized to unpin the cached blocks (ADVICE.md r1: a leaked persist stays
+pinned for the application lifetime across multi-segment builds).
 """
 
 from __future__ import annotations
 
-from typing import List, Optional
+from typing import Callable, List, Optional, Tuple
 
-from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import DataFrame, functions as F
 from pyspark.storagelevel import StorageLevel
+
+_LOCAL_MASK = (1 << 33) - 1  # monotonically_increasing_id: low 33 bits = row
 
 
 def assign_dense_doc_ids(df: DataFrame, order_cols: List[str],
-                         num_partitions: Optional[int] = None) -> DataFrame:
+                         num_partitions: Optional[int] = None,
+                         ) -> Tuple[DataFrame, Callable[[], None]]:
     """Add ``doc_id`` = dense global rank by ``order_cols`` (must be a unique
     key for determinism across runs/partitionings)."""
     n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
     part = (df.repartitionByRange(n, *[F.col(c) for c in order_cols])
-              .withColumn("_pid", F.spark_partition_id())
+              .sortWithinPartitions(*[F.col(c) for c in order_cols])
+              .withColumn("_mid", F.monotonically_increasing_id())
               .persist(StorageLevel.MEMORY_AND_DISK))
+    pid = F.shiftright("_mid", 33).cast("int")
     counts = {r["_pid"]: r["cnt"] for r in
-              part.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()}
+              part.groupBy(pid.alias("_pid"))
+                  .agg(F.count("*").alias("cnt")).collect()}
     offsets, acc = [], 0
-    for pid in sorted(counts):
-        offsets.append((pid, acc))
-        acc += counts[pid]
+    for p in sorted(counts):  # range partitions are globally ordered by pid
+        offsets.append((p, acc))
+        acc += counts[p]
     off_df = df.sparkSession.createDataFrame(offsets, "_pid int, _off long")
-    w = Window.partitionBy("_pid").orderBy(*[F.col(c) for c in order_cols])
-    out = (part.join(F.broadcast(off_df), "_pid")
-               .withColumn("doc_id", F.row_number().over(w) - 1 + F.col("_off"))
-               .drop("_pid", "_off"))
-    return out
+    out = (part.withColumn("_pid", pid)
+               .join(F.broadcast(off_df), "_pid")
+               .withColumn("doc_id",
+                           (F.col("_mid").bitwiseAND(F.lit(_LOCAL_MASK))
+                            + F.col("_off")).cast("long"))
+               .drop("_pid", "_off", "_mid"))
+    return out, lambda: part.unpersist()

@@ -61,6 +61,23 @@ def merge_indexes(spark: SparkSession, index_dirs: List[str], out_dir: str,
     for s in stats[1:]:
         if list(s["fields"]) != fields:
             raise ValueError("cannot merge indexes with different field sets")
+    # The cumulative-offset docID rebase below assumes engine-assigned dense
+    # IDs. A segment built with a USER-supplied doc_id_col carries meaningful
+    # external IDs: rebasing would silently rewrite them, and the same logical
+    # document re-indexed in a later segment (I9 upsert semantics) would
+    # become two distinct docs, inflating n_docs/df. Refuse loudly instead
+    # of corrupting (ADVICE.md r1) — compact such segments by re-building
+    # from the unioned doc stores with upsert_by_id.
+    for s in stats:
+        try:
+            ck = json.loads(s.get("config_key") or "{}")
+        except (TypeError, json.JSONDecodeError):
+            ck = {}
+        if ck.get("doc_id_col"):
+            raise ValueError(
+                "merge_indexes cannot rebase user-supplied doc IDs "
+                f"(segment built with doc_id_col={ck['doc_id_col']!r}); "
+                "rebuild from the unioned doc stores with upsert_by_id instead")
 
     # docID rebase offsets = cumulative docs-store sizes (Lucene segment merge)
     sizes = [spark.read.parquet(p.docs).count() for p in sources]

@@ -507,15 +507,16 @@ class SearchEngine:
                 mult[t] = mult.get(t, 0) + 1
             for t, k in mult.items():
                 clause_mults.append((ci, t, float(k)))
-        n_clauses = len([ts for ts in clause_terms if ts])
         if op == "and":
             required = len(clause_terms)
         elif self.qcfg.bool_must_minimum_should_match is not None:
+            # ES computes minimum_should_match over ALL should clauses —
+            # zero-term clauses (stopword-only words) still count toward the
+            # requirement and can never match (matches oracle.py bool OR path)
             pct = int(str(self.qcfg.bool_must_minimum_should_match).rstrip("%"))
             required = max(1, int(math.floor(pct / 100.0 * len(words))))
         else:
             required = 1
-        required = min(required, n_clauses) if n_clauses else required
         hits = self._score_clauses_driver("main", clause_mults, required, size)
         if hits is not None:
             return hits

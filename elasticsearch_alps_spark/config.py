@@ -174,6 +174,10 @@ class QueryConfig:
     fuzzy_max_expansions: int = 50  # search.py:305
     fuzzy_multiword_minimum_should_match: str = "60%"  # search.py:295
     use_wand: bool = False     # block-max WAND scorer (must be result-identical)
+    # phrase phase-2: broadcast the candidate doc_id set when the candidate
+    # upper bound (min term df) is at most this many rows (~8 B/row → ≤40 MB);
+    # above it the semi-join shuffles instead of broadcasting
+    phrase_broadcast_max_candidates: int = 5_000_000
 
     def __post_init__(self):
         if not isinstance(self.match_phrase_slop, list):

@@ -103,3 +103,30 @@ def test_oracle_merge_property(texts):
         db = len(b.main.postings.get(term, {}))
         assert da + db == len(posting), term
     assert a.main.cf_total + b.main.cf_total == full.main.cf_total
+
+
+@given(st.lists(st.integers(min_value=0, max_value=(1 << 62) - 1),
+                min_size=0, max_size=200))
+@settings(max_examples=300, deadline=None)
+def test_varint_decode_np_equals_pure(values):
+    from elasticsearch_alps_spark.indexing.postings import (
+        varint_decode, varint_decode_np, varint_encode,
+    )
+    buf = varint_encode(values)
+    assert varint_decode_np(buf).tolist() == varint_decode(buf) == values
+
+
+@given(st.lists(st.integers(min_value=0, max_value=200_000),
+                min_size=0, max_size=300))
+@settings(max_examples=200, deadline=None)
+def test_encode_decode_positions_roundtrip_np(deltas):
+    from elasticsearch_alps_spark.indexing.postings import (
+        decode_positions, encode_positions,
+    )
+    positions = []
+    acc = 0
+    for d in sorted(deltas):
+        positions.append(acc + d)
+        acc += d
+    positions = sorted(set(positions))
+    assert decode_positions(encode_positions(positions)) == positions

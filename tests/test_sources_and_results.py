@@ -72,3 +72,55 @@ def test_result_writers(tmp_path):
     assert json.load(open(sp))["overview"]["total_queries"] == 2
     d, s = timestamped_paths(str(tmp_path / "out"), "job7")
     assert "job7" in d and os.path.isdir(os.path.dirname(d)) and d != s
+
+
+class TestArrowStreamSource:
+    """S3 Arrow IPC reader (r2, VERDICT missing #2) + S5 shard pattern."""
+
+    @staticmethod
+    def _write_shards(tmp_path, n_shards=3, rows_per=40):
+        import pyarrow as pa
+        paths = []
+        for s in range(n_shards):
+            tbl = pa.table({
+                "conversation_id": [f"c{s}_{i}" for i in range(rows_per)],
+                "text": [f"doc {s} {i} spark arrow stream" for i in range(rows_per)],
+            })
+            p = tmp_path / f"data-{s:05d}-of-{n_shards:05d}.arrow"
+            with pa.ipc.new_stream(str(p), tbl.schema) as w:
+                for b in tbl.to_batches(max_chunksize=16):
+                    w.write_batch(b)
+            paths.append(p)
+        # a decoy that must be excluded by the S5 pattern
+        decoy = pa.table({"conversation_id": ["x"], "text": ["decoy"]})
+        with pa.ipc.new_stream(str(tmp_path / "junk.arrow"), decoy.schema) as w:
+            w.write_table(decoy)
+        return paths
+
+    def test_roundtrip_and_pattern(self, spark, tmp_path):
+        from elasticsearch_alps_spark.sources import read_arrow_stream
+        self._write_shards(tmp_path)
+        df = read_arrow_stream(spark, str(tmp_path),
+                               pattern="data-*-of-*.arrow")
+        rows = df.collect()
+        assert len(rows) == 3 * 40
+        assert {r["conversation_id"] for r in rows} >= {"c0_0", "c2_39"}
+        assert all(r["conversation_id"] != "x" for r in rows)
+        # default pattern picks up every .arrow file, decoy included
+        df_all = read_arrow_stream(spark, str(tmp_path))
+        assert df_all.count() == 3 * 40 + 1
+
+    def test_arrow_to_index_end_to_end(self, spark, tmp_path):
+        from elasticsearch_alps_spark.config import IndexConfig
+        from elasticsearch_alps_spark.indexing.builder import build_index
+        from elasticsearch_alps_spark.queries.engine import SearchEngine
+        from elasticsearch_alps_spark.sources import read_arrow_stream
+        self._write_shards(tmp_path, n_shards=2, rows_per=10)
+        docs = read_arrow_stream(spark, str(tmp_path),
+                                 pattern="data-*-of-*.arrow")
+        paths = build_index(spark, docs, str(tmp_path / "idx"), IndexConfig(),
+                            text_col="text", id_cols=("conversation_id",),
+                            shards=2)
+        eng = SearchEngine(spark, paths.root)
+        assert paths.read_stats()["fields"]["main"]["n_docs"] == 20
+        assert eng.match_query("arrow stream").count() > 0

@@ -462,9 +462,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ---- dedup suite ----
     q["dx_exact_dups"] = lambda s, sf: dedup.exact_duplicates(
         docs_df(s, sf), "text", "doc_id").orderBy("content_sha256")
+    # the skew cap is exercised but provably inert on this fixture (max
+    # shingle df at sf0.01 is 7 — measured via DuckDB), so the uncapped
+    # oracle stays exact
     q["dx_ngram_jaccard"] = lambda s, sf: (
         dedup.ngram_jaccard_pairs(docs_df(s, sf), "text", "doc_id",
-                                  n=3, threshold=0.05)
+                                  n=3, threshold=0.05, max_shingle_df=100)
         .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
         .orderBy("id_a", "id_b"))
     q["dx_minhash_lsh"] = lambda s, sf: (

@@ -33,6 +33,7 @@ from typing import List, Optional
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from elasticsearch_alps_spark import fsio
 from elasticsearch_alps_spark.config import IndexConfig
 from elasticsearch_alps_spark.indexing.builder import IndexPaths, _build_packed
 
@@ -50,9 +51,10 @@ def merge_indexes(spark: SparkSession, index_dirs: List[str], out_dir: str,
     cfg = cfg or IndexConfig()
     out = IndexPaths(out_dir)
     marker = os.path.join(out.lineage_dir, "merge.json")
-    if resume and os.path.exists(marker):
+    if resume and fsio.exists(marker):
         return out
-    os.makedirs(out_dir, exist_ok=True)
+    if "://" not in out_dir:  # Hadoop FSs create directories implicitly
+        os.makedirs(out_dir, exist_ok=True)
     t0 = time.time()
 
     sources = [IndexPaths(d) for d in index_dirs]
@@ -143,10 +145,8 @@ def merge_indexes(spark: SparkSession, index_dirs: List[str], out_dir: str,
         "merged_from": [p.root for p in sources],
         "merge_sec": round(time.time() - t0, 3),
     }
-    with open(out.stats, "w") as f:
-        json.dump(out_stats, f, indent=2)
-    os.makedirs(out.lineage_dir, exist_ok=True)
-    with open(marker, "w") as f:
-        json.dump({"sources": index_dirs, "sizes": sizes,
-                   "elapsed_sec": round(time.time() - t0, 3)}, f, indent=2)
+    fsio.write_json(out.stats, out_stats, spark=spark, indent=2)
+    fsio.write_json(marker, {"sources": index_dirs, "sizes": sizes,
+                             "elapsed_sec": round(time.time() - t0, 3)},
+                    spark=spark, indent=2)
     return out

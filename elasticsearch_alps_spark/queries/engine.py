@@ -323,11 +323,14 @@ class SearchEngine:
         dfs = self._df_lookup("main", list(mult))
         clauses = [(i, t, k * self.idf("main", dfs.get(t, 0)))
                    for i, (t, k) in enumerate(mult.items())]
-        if self.qcfg.use_wand and required == 1:
-            return self._wand("main", clauses, size)
+        if self.qcfg.use_wand:
+            # match-query clauses are one-per-distinct-term, so the WAND
+            # conjunctive/msm extension applies to AND and msm too (r2)
+            return self._wand("main", clauses, size, required)
         return self._score_clauses("main", clauses, required, size)
 
-    def _wand(self, field: str, clauses: List[Clause], size: int) -> DataFrame:
+    def _wand(self, field: str, clauses: List[Clause], size: int,
+              required: int = 1) -> DataFrame:
         """Block-max WAND over the packed blocks (M6) — result-identical to
         the exhaustive scorer (pruning is lossless; asserted in tests)."""
         from elasticsearch_alps_spark.queries.wand import wand_topk
@@ -336,7 +339,7 @@ class SearchEngine:
         self._set_total()  # WAND prunes; full count unavailable (G3 note)
         return wand_topk(self.spark, self.paths.packed(src),
                          self.paths.field_dir(src), clauses, size,
-                         self.k1, self.b, avgdl)
+                         self.k1, self.b, avgdl, required)
 
     def match_phrase_query(self, text: str, slop: int = 0,
                            size: Optional[int] = None) -> DataFrame:

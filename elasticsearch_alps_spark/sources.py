@@ -76,6 +76,54 @@ def read_arrow_stream(spark: SparkSession, path: str,
     return bin_df.mapInArrow(decode, spark_schema)
 
 
+def read_source_table(spark: SparkSession, location: str,
+                      source_format: str = "parquet",
+                      pattern: Optional[str] = None, **options) -> DataFrame:
+    """Unified ingest entry point over the source formats SURVEY.md §1.2
+    names for the reference's corpora:
+
+    - ``parquet``: directory of parquet files (S1); ``pattern`` maps to
+      ``pathGlobFilter`` (S5 shard filtering), extra ``options`` pass through
+      (e.g. ``recursiveFileLookup`` for S6 folder sharding).
+    - ``arrow``: directory of Arrow IPC stream shards → ``read_arrow_stream``.
+    - ``iceberg``: an Iceberg table name (``catalog.db.table``) or path —
+      needs the ``iceberg-spark-runtime`` JAR and a configured catalog on the
+      cluster. Not installed in this sandbox, so the missing-dependency case
+      raises a RuntimeError naming the JAR instead of a raw ClassNotFound
+      (I7's atomic-commit/refresh analog comes from Iceberg snapshots when
+      this path is active)."""
+    fmt = source_format.lower()
+    if fmt == "parquet":
+        reader = spark.read
+        if pattern:
+            reader = reader.option("pathGlobFilter", pattern)
+        for k, v in options.items():
+            reader = reader.option(k, v)
+        return reader.parquet(location)
+    if fmt == "arrow":
+        return read_arrow_stream(spark, location, pattern or "*.arrow",
+                                 options.get("schema"))
+    if fmt == "iceberg":
+        try:
+            reader = spark.read.format("iceberg")
+            for k, v in options.items():
+                reader = reader.option(k, v)
+            # the iceberg source accepts both table identifiers and paths
+            return reader.load(location)
+        except Exception as e:  # surface a setup hint, not a bare stack
+            msg = str(e)
+            if "DATA_SOURCE_NOT_FOUND" in msg or "iceberg" in msg.lower() \
+                    or "ClassNotFound" in msg:
+                raise RuntimeError(
+                    "Iceberg source requires the iceberg-spark-runtime JAR "
+                    "on the cluster classpath and a configured catalog "
+                    "(spark.sql.catalog.<name>) — see Apache Iceberg's Spark "
+                    "quickstart") from e
+            raise
+    raise ValueError(f"unknown source_format {source_format!r} "
+                     "(expected parquet | arrow | iceberg)")
+
+
 def fineweb_adapter(df: DataFrame, text_col: str = "text", id_col: str = "id",
                     metadata_col: str = "metadata") -> DataFrame:
     """FineWeb parquet → (doc_key, text, url) rows ready for build_index.

@@ -21,6 +21,7 @@ from typing import Optional, Sequence
 
 from pyspark.sql import DataFrame, SparkSession
 
+from elasticsearch_alps_spark import fsio
 from elasticsearch_alps_spark.config import IndexConfig
 from elasticsearch_alps_spark.indexing.builder import IndexPaths, build_index
 from elasticsearch_alps_spark.merging.merger import merge_indexes
@@ -40,7 +41,8 @@ class IncrementalIndexer:
         self.id_cols = tuple(id_cols)
         self.doc_id_col = doc_id_col
         self.shards = shards
-        os.makedirs(self.segments_root, exist_ok=True)
+        if "://" not in self.segments_root:  # Hadoop FSs create implicitly
+            os.makedirs(self.segments_root, exist_ok=True)
 
     @property
     def segments_root(self) -> str:
@@ -52,9 +54,13 @@ class IncrementalIndexer:
 
     def segment_dirs(self) -> list:
         out = []
-        for name in sorted(os.listdir(self.segments_root)):
+        if "://" not in self.segments_root:
+            names = sorted(os.listdir(self.segments_root))
+        else:  # J3 index discovery on hdfs/s3a roots (fsio, r2)
+            names = fsio.list_dirs(self.segments_root, self.spark)
+        for name in names:
             d = os.path.join(self.segments_root, name)
-            if os.path.exists(os.path.join(d, "stats.json")):
+            if fsio.exists(os.path.join(d, "stats.json")):
                 out.append(d)
         return out
 
@@ -65,7 +71,7 @@ class IncrementalIndexer:
         """foreachBatch sink: one micro-batch → one immutable segment.
         Idempotent on epoch replay (segment stats.json is the marker)."""
         seg = self._segment_dir(epoch_id)
-        if os.path.exists(os.path.join(seg, "stats.json")):
+        if fsio.exists(os.path.join(seg, "stats.json")):
             return  # epoch replayed after a failure — already ingested
         if batch_df.isEmpty():
             return
@@ -93,6 +99,6 @@ class IncrementalIndexer:
             return IndexPaths(segs[0])
         out = merge_indexes(self.spark, segs, self.compacted_dir,
                             self.cfg, shards=self.shards)
-        with open(os.path.join(self.root, "_compaction.json"), "w") as f:
-            json.dump({"segments": segs}, f, indent=2)
+        fsio.write_json(os.path.join(self.root, "_compaction.json"),
+                        {"segments": segs}, spark=self.spark, indent=2)
         return out

@@ -341,6 +341,45 @@ class SearchEngine:
                          self.paths.field_dir(src), clauses, size,
                          self.k1, self.b, avgdl, required)
 
+    def _phrase_driver(self, field: str, terms, offsets, uniq, dfs,
+                       idf_sum: float, slop: int,
+                       size: int) -> Optional[DataFrame]:
+        """Hybrid serving path for phrases (r2): ONE fetch of the term-pruned
+        postings WITH positions, then candidate filtering + phrase_freq +
+        BM25 in Python on the driver — the same closed form the oracle and
+        the distributed pfreq UDF use, so results are identical. Returns
+        None over budget (exact Σdf — already fetched for idf)."""
+        budget = self.qcfg.driver_score_max_postings
+        if budget <= 0 or sum(dfs[t] for t in uniq) > budget:
+            return None
+        from elasticsearch_alps_spark.indexing.postings import decode_positions
+        tl = ", ".join("'" + t.replace("'", "''") + "'" for t in uniq)
+        pdf = self.spark.sql(
+            f"SELECT term, doc_id, freq, dl, positions "
+            f"FROM {self._postings_view(field)} WHERE term IN ({tl})").toPandas()
+        n_terms = len(uniq)
+        counts = pdf.groupby("doc_id")["term"].nunique()
+        cand_ids = set(counts.index[counts == n_terms])
+        sub = pdf[pdf["doc_id"].isin(cand_ids)]
+        _, avgdl = self._fstat(field)
+        k1, b = self.k1, self.b
+        scored = []
+        for doc_id, g in sub.groupby("doc_id"):
+            pos = {}
+            dl = 0.0
+            for t, p, d in zip(g["term"], g["positions"], g["dl"]):
+                pos[t] = (decode_positions(bytes(p))
+                          if isinstance(p, (bytes, bytearray)) else list(p))
+                dl = float(d)
+            freq = phrase_freq(terms, pos, slop, offsets)
+            if freq > 0.0:
+                tf = freq / (freq + k1 * (1.0 - b + b * dl / avgdl))
+                scored.append((int(doc_id), idf_sum * tf))
+        self._set_total(count=len(scored))
+        scored.sort(key=lambda x: (-x[1], x[0]))
+        return self.spark.createDataFrame(scored[:size] or [],
+                                          "doc_id long, score double")
+
     def match_phrase_query(self, text: str, slop: int = 0,
                            size: Optional[int] = None) -> DataFrame:
         """Q4 (search.py:174-205): all terms present, positions form the phrase
@@ -361,6 +400,10 @@ class SearchEngine:
             return self._empty_hits()
         # Lucene PhraseWeight sums idf per term occurrence
         idf_sum = sum(self.idf("main", dfs[t]) for t in terms)
+        hits = self._phrase_driver("main", terms, offsets, uniq, dfs, idf_sum,
+                                   slop, size)
+        if hits is not None:
+            return hits
         # Two-phase candidate plan (r2 rework — VERDICT r1 wrong #1): the r1
         # plan collect_list'ed positions for EVERY doc containing ANY phrase
         # term, so one frequent term shuffled the corpus's position blobs.
@@ -498,6 +541,12 @@ class SearchEngine:
             if not word:
                 return self._empty_hits()
             exp = self._fuzzy_expand("main", word)
+            # hybrid driver path first (r2): expansion boosts are exactly the
+            # idf multiplier the driver scorer applies — result-identical
+            hits = self._score_clauses_driver(
+                "main", [(0, t, boost) for t, boost, _ in exp], 1, size)
+            if hits is not None:
+                return hits
             clauses = [(0, t, boost * self.idf("main", df)) for t, boost, df in exp]
             return self._score_clauses("main", clauses, 1, size)
         words = analyze(text, self._analyzers["main"])
@@ -507,10 +556,16 @@ class SearchEngine:
         pct = int(self.qcfg.fuzzy_multiword_minimum_should_match.rstrip("%"))
         required = max(1, int(math.floor(pct / 100.0 * len(uniq))))
         expansions = self._fuzzy_expand_multi("main", uniq)
-        clauses: List[Clause] = []
+        clause_mults: List[Clause] = []
         for ci in range(len(uniq)):
             for t, boost, df in expansions[ci]:
-                clauses.append((ci, t, boost * self.idf("main", df)))
+                clause_mults.append((ci, t, boost))
+        hits = self._score_clauses_driver("main", clause_mults, required, size)
+        if hits is not None:
+            return hits
+        dfs = {t: df for e in expansions.values() for t, _, df in e}
+        clauses = [(ci, t, boost * self.idf("main", dfs[t]))
+                   for ci, t, boost in clause_mults]
         return self._score_clauses("main", clauses, required, size)
 
     def bool_must_query(self, text: str, size: Optional[int] = None) -> DataFrame:

@@ -1,0 +1,72 @@
+"""Streaming operators beyond segment ingestion (build-brief §streaming).
+
+The reference is batch-only (SURVEY.md §2.9); `incremental.py` already covers
+micro-batch → immutable segments. This module adds the two structured-
+streaming shapes the brief names explicitly, as engine operators a training-
+data pipeline runs alongside indexing:
+
+- watermarked windowed aggregation (late data handled by the watermark, the
+  G6 ingest-rate monitor as a stream);
+- a custom stateful operator via ``applyInPandasWithState``: first-seen
+  dedup keyed on a content hash — the streaming analog of
+  ``extras.dedup.exact_duplicates`` (only the first occurrence of each key
+  ever crosses the operator; duplicates in later micro-batches are dropped
+  by per-key state, which a 1000-executor cluster shards by the groupBy key).
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Iterator, List
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+
+def windowed_doc_counts(stream_df: DataFrame, ts_col: str = "ts",
+                        window: str = "1 minute",
+                        watermark: str = "2 minutes",
+                        by: List[str] = ()) -> DataFrame:
+    """Docs-per-window (optionally per ``by`` columns) with a watermark:
+    events later than ``watermark`` behind the max seen event time are
+    dropped; in append mode a window only emits once the watermark passes
+    its end (exactly-once downstream writes)."""
+    g = [F.window(F.col(ts_col), window)] + [F.col(c) for c in by]
+    return (stream_df.withWatermark(ts_col, watermark)
+            .groupBy(*g)
+            .agg(F.count("*").alias("n_docs"))
+            .select(F.col("window.start").alias("window_start"),
+                    F.col("window.end").alias("window_end"),
+                    *[F.col(c) for c in by], "n_docs"))
+
+
+def streaming_first_seen(stream_df: DataFrame, key_col: str = "content_sha256",
+                         payload_cols: Iterable[str] = ("doc_id",)) -> DataFrame:
+    """Stateful streaming exact-dedup: emit each key's FIRST row (ever),
+    drop every later occurrence — ``applyInPandasWithState`` keyed by
+    ``key_col`` with a boolean seen-flag per key.
+
+    State is O(1) per distinct key and partitioned by the group key, so it
+    scales horizontally; pair with a state-store TTL (`GroupStateTimeout`)
+    when the key space is unbounded in production."""
+    out_schema = ", ".join([f"{key_col} string"]
+                           + [f"{c} long" for c in payload_cols])
+
+    def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        if state.exists:
+            for _ in pdfs:  # drain — key already emitted in a prior batch
+                pass
+            return
+        first = None
+        for pdf in pdfs:
+            if first is None and len(pdf):
+                first = pdf.head(1)
+        state.update((True,))
+        if first is not None:
+            yield first[[key_col, *payload_cols]]
+
+    return (stream_df
+            .select(key_col, *payload_cols)
+            .groupBy(key_col)
+            .applyInPandasWithState(fn, out_schema, "seen boolean",
+                                    "append", GroupStateTimeout.NoTimeout))

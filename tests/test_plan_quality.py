@@ -71,3 +71,29 @@ def test_doc_store_join_is_broadcast(spark, engine):
     hits = engine.match_query("def")
     plan = _formatted_plan(engine.materialize_hits(hits))
     assert "BroadcastHashJoin" in plan, "k-row hit side must broadcast (J4)"
+
+
+def test_minhash_simhash_plans_are_jvm_only(spark):
+    """r2 (VERDICT r1 wrong #3): MinHash/SimHash hashing moved JVM-side —
+    their physical plans must contain NO Python evaluation node
+    (BatchEvalPython / ArrowEvalPython / mapInPandas)."""
+    from elasticsearch_alps_spark.extras.dedup import (
+        minhash_lsh_pairs, simhash_pairs,
+    )
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta doc {i}") for i in range(20)],
+        "doc_id long, text string")
+    for df in (minhash_lsh_pairs(docs, threshold=0.1),
+               simhash_pairs(docs, max_hamming=10)):
+        plan = _formatted_plan(df)
+        for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas",
+                     "FlatMapGroupsInPandas"):
+            assert node not in plan, f"{node} found in supposedly-JVM plan"
+
+
+def test_fuzzy_expansion_plan_prunes_positions(spark, engine):
+    """Fuzzy scoring never reads position blobs either."""
+    plan = _formatted_plan(engine.fuzzy_query("pars"))
+    scans = [s.split("Output", 1)[1].splitlines()[0]
+             for s in plan.split("Scan parquet")[1:] if "Output" in s]
+    assert scans and all("positions" not in s for s in scans)

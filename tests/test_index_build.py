@@ -144,3 +144,14 @@ def test_resume_skips_built_stages(spark, corpus_df, tmp_path):
     # lineage marker untouched → stage skipped
     assert os.path.getmtime(os.path.join(p2.lineage_dir, "field_main.json")) == mtime
     assert p2.read_stats()["fields"]["main"]["n_docs"] > 0
+
+
+def test_no_leaked_persisted_rdds_after_build(spark, corpus_df, tmp_path):
+    """r2 (ADVICE r1): the docID-assignment cache and the dual-analyzer cache
+    must be unpersisted once the build completes — a leaked persist stays
+    pinned for the application lifetime across multi-segment builds."""
+    from elasticsearch_alps_spark.indexing.builder import build_index
+    before = spark.sparkContext._jsc.getPersistentRDDs().size()
+    build_index(spark, corpus_df, str(tmp_path / "idx_leak"), shards=4)
+    after = spark.sparkContext._jsc.getPersistentRDDs().size()
+    assert after <= before, f"build leaked {after - before} persisted RDD(s)"

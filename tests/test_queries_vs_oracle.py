@@ -215,3 +215,14 @@ def test_exact_field_highlight_for_term_query(spark, built_index):
         assert "<match>run</match>" not in snip
     match_row = by_type["match_query"]
     assert match_row["error"] is None
+
+
+def test_register_views_sql_surface(spark, engine):
+    names = engine.register_views("t_alps")
+    assert names["docs"] == "t_alps_docs"
+    n = spark.sql("SELECT count(*) AS n FROM t_alps_docs").first()["n"]
+    assert n == engine.stats["fields"]["main"]["n_docs"]
+    top = spark.sql(
+        "SELECT term, df FROM t_alps_term_stats_main ORDER BY df DESC LIMIT 1"
+    ).first()
+    assert top["df"] > 0

@@ -177,3 +177,12 @@ class TestFsio:
                                    spark=spark)[0]["name"] == "meta.json"
         finally:
             fsio._is_local = fsio._is_local_orig
+
+
+def test_jsonl_side_output_roundtrip(spark, tmp_path):
+    """S8: JSONL side output is native df.write.json — round-trip check."""
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "doc_id long, text string")
+    out = str(tmp_path / "side.jsonl")
+    df.coalesce(1).write.json(out)
+    back = spark.read.json(out)
+    assert {(r["doc_id"], r["text"]) for r in back.collect()} == {(1, "a"), (2, "b")}

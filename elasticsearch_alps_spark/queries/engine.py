@@ -18,6 +18,7 @@ a documented divergence). Ties broken by docID asc (Q10).
 from __future__ import annotations
 
 import math
+import os
 import time
 from datetime import datetime
 from typing import Dict, List, Optional, Sequence, Tuple
@@ -55,6 +56,7 @@ class SearchEngine:
         self.spark = spark
         self.paths = IndexPaths(index_dir)
         self.qcfg = qcfg or QueryConfig()
+        self._cache = cache
         self.stats = self.paths.read_stats()
         self.k1 = self.stats["bm25"]["k1"]
         self.b = self.stats["bm25"]["b"]
@@ -112,15 +114,26 @@ class SearchEngine:
         return math.log(1.0 + (n - df + 0.5) / (df + 0.5))
 
     def _df_lookup(self, field: str, terms: Sequence[str]) -> Dict[str, int]:
-        """df for each query term — one tiny job over the (term-sorted,
-        min/max-pruned) term_stats table."""
+        """df for each query term. The cached top-K-by-df dictionary
+        (_hot_dfs) answers exactly for any term it contains — and when it
+        holds the WHOLE vocabulary, for absent terms too (df = 0) — so the
+        common case costs no Spark job; only terms outside the hot set fall
+        through to a tiny scan of the (term-sorted, min/max-pruned)
+        term_stats table."""
         uniq = list(dict.fromkeys(terms))
         if not uniq:
             return {}
-        rows = (self._term_stats[field]
-                .filter(F.col("term").isin(uniq))
-                .select("term", "df").collect())
-        return {r["term"]: r["df"] for r in rows}
+        hot, ceiling = self._hot_dfs(field)
+        out = {t: hot[t] for t in uniq if t in hot}
+        missing = [t for t in uniq if t not in hot]
+        if missing and ceiling > 0:
+            rows = (self._term_stats[field]
+                    .filter(F.col("term").isin(missing))
+                    .select("term", "df").collect())
+            out.update({r["term"]: r["df"] for r in rows})
+        # ceiling == 0 → hot holds the full vocabulary: absent terms have
+        # df 0 and are correctly left out (callers use dfs.get(t, 0))
+        return out
 
     def _tf_norm_col(self, field: str):
         _, avgdl = self._fstat(field)
@@ -344,13 +357,26 @@ class SearchEngine:
               required: int = 1) -> DataFrame:
         """Block-max WAND over the packed blocks (M6) — result-identical to
         the exhaustive scorer (pruning is lossless; asserted in tests)."""
+        from elasticsearch_alps_spark import fsio
         from elasticsearch_alps_spark.queries.wand import wand_topk
         _, avgdl = self._fstat(field)
         src = self._field_src.get(field, field)
+        cached = getattr(self, "_packed_cache", None)
+        if cached is None:
+            cached = self._packed_cache = {}
+        if src not in cached:
+            df = self.spark.read.parquet(self.paths.packed(src))
+            if self._cache:
+                df = df.cache()
+            meta = fsio.read_json(os.path.join(self.paths.field_dir(src),
+                                               "packed_meta.json"), self.spark)
+            cached[src] = (df, meta["n_buckets"])
+        packed_df, n_buckets = cached[src]
         self._set_total()  # WAND prunes; full count unavailable (G3 note)
         return wand_topk(self.spark, self.paths.packed(src),
                          self.paths.field_dir(src), clauses, size,
-                         self.k1, self.b, avgdl, required)
+                         self.k1, self.b, avgdl, required,
+                         packed_df=packed_df, n_buckets=n_buckets)
 
     def _phrase_driver(self, field: str, terms, offsets, uniq, dfs,
                        idf_sum: float, slop: int,

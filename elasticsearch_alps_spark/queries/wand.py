@@ -197,26 +197,32 @@ def _bucket_wand(term_blocks: Dict[str, List[dict]], weights: Dict[str, float],
 def wand_topk(spark: SparkSession, packed_path: str, field_dir: str,
               clauses: List[Tuple[int, str, float]], size: int,
               k1: float, b: float, avgdl: float,
-              required: int = 1) -> DataFrame:
+              required: int = 1, packed_df: DataFrame = None,
+              n_buckets: int = None) -> DataFrame:
     """Distributed block-max WAND: per-bucket local top-k via mapInPandas,
     then a global TakeOrderedAndProject. ``required`` > 1 enables the
     conjunctive/msm variant (one clause per distinct term — the match-query
     shape; multi-term clauses would need clause-level counting and keep the
-    exhaustive scorer)."""
+    exhaustive scorer). Pass ``packed_df``/``n_buckets`` to serve repeated
+    queries from one (optionally cached) scan instead of re-opening the
+    parquet per query."""
     weights: Dict[str, float] = {}
     for _, term, w in clauses:
         weights[term] = weights.get(term, 0.0) + w
     terms = list(weights)
-    packed = (spark.read.parquet(packed_path)
+    if packed_df is None:
+        packed_df = spark.read.parquet(packed_path)
+    packed = (packed_df
               .filter(F.col("term").isin(terms))
               .select("bucket", "term", "block_id", "first_doc", "last_doc",
                       "docs", "freqs", "dls", "max_tf_norm"))
     # co-locate each bucket's blocks in one task; task count tracks the
     # session's parallelism instead of a hard 64 (r2 — the r1 cap throttled
     # clusters wider than 64 slots)
-    from elasticsearch_alps_spark import fsio
-    n_buckets = fsio.read_json(
-        os.path.join(field_dir, "packed_meta.json"), spark)["n_buckets"]
+    if n_buckets is None:
+        from elasticsearch_alps_spark import fsio
+        n_buckets = fsio.read_json(
+            os.path.join(field_dir, "packed_meta.json"), spark)["n_buckets"]
     max_tasks = max(64, 2 * spark.sparkContext.defaultParallelism)
     packed = packed.repartition(min(n_buckets, max_tasks), "bucket")
 

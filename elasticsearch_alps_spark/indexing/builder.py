@@ -31,7 +31,7 @@ import os
 import time
 from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass
-from typing import Iterable, List, Optional, Sequence
+from typing import Optional, Sequence
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F

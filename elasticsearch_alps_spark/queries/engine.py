@@ -29,7 +29,7 @@ from pyspark.sql import DataFrame, Observation, SparkSession, functions as F
 from elasticsearch_alps_spark.analysis.analyzers import (
     analyze, analyze_positions, fuzzy_auto_distance, is_single_word,
 )
-from elasticsearch_alps_spark.config import ANALYZERS, AnalyzerConfig, IndexConfig, QueryConfig
+from elasticsearch_alps_spark.config import ANALYZERS, AnalyzerConfig, QueryConfig
 from elasticsearch_alps_spark.indexing.builder import IndexPaths
 from elasticsearch_alps_spark.oracle import phrase_freq
 from elasticsearch_alps_spark.queries.highlight import format_snippets

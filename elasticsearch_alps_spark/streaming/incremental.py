@@ -91,14 +91,40 @@ class IncrementalIndexer:
 
     def compact(self) -> IndexPaths:
         """Merge all segments into one queryable index (the force-merge
-        analog; SURVEY.md §3.3's 95→1 hierarchy collapsed to one shuffle)."""
+        analog; SURVEY.md §3.3's 95→1 hierarchy collapsed to one shuffle).
+
+        Engine-assigned IDs: postings-level merge (docIDs rebased by
+        cumulative offsets). User-supplied ``doc_id_col``: offsets would
+        corrupt the external IDs, and the same logical doc re-ingested in a
+        later segment must REPLACE the earlier one (I9 upsert) — so compact
+        re-builds from the unioned doc stores with last-segment-wins
+        ``upsert_by_id`` instead (re-analyzes, like the reference's remote
+        reindex merge, merge.py:255-281). Caveat: segment doc stores hold
+        P4-truncated text, so content_sha256 of a >truncate_chars doc is
+        recomputed over the truncated form here."""
         segs = self.segment_dirs()
         if not segs:
             raise RuntimeError("no segments to compact")
         if len(segs) == 1:
             return IndexPaths(segs[0])
-        out = merge_indexes(self.spark, segs, self.compacted_dir,
-                            self.cfg, shards=self.shards)
+        if self.doc_id_col:
+            from functools import reduce
+            from pyspark.sql import functions as F
+            from elasticsearch_alps_spark.indexing.builder import upsert_by_id
+            union = reduce(
+                DataFrame.unionByName,
+                [self.spark.read.parquet(IndexPaths(s).docs)
+                     .withColumn("_seg", F.lit(i))
+                 for i, s in enumerate(segs)])
+            docs = (upsert_by_id(union, ["doc_id"], order_col="_seg")
+                    .drop("_seg", "content_sha256"))
+            out = build_index(self.spark, docs, self.compacted_dir, self.cfg,
+                              text_col=self.text_col,
+                              id_cols=self.id_cols,
+                              doc_id_col=self.doc_id_col, shards=self.shards)
+        else:
+            out = merge_indexes(self.spark, segs, self.compacted_dir,
+                                self.cfg, shards=self.shards)
         fsio.write_json(os.path.join(self.root, "_compaction.json"),
                         {"segments": segs}, spark=self.spark, indent=2)
         return out

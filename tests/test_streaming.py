@@ -131,3 +131,32 @@ class TestStreamingOps:
         assert {k for k, _ in got} == {"ha", "hb", "hc"}
         assert ("hb", 3) in got or ("hb", 2) in got
         assert len(got) == 3
+
+
+def test_compact_with_user_doc_ids_upserts(spark, tmp_path):
+    """r2 (ADVICE r1): segments built with a user doc_id_col cannot be
+    offset-rebased — compaction must re-build from the unioned doc stores
+    with last-segment-wins upsert instead."""
+    from elasticsearch_alps_spark.config import IndexConfig
+    from elasticsearch_alps_spark.queries.engine import SearchEngine
+    from elasticsearch_alps_spark.streaming.incremental import IncrementalIndexer
+    idx = IncrementalIndexer(
+        spark, str(tmp_path / "inc"), IndexConfig(build_packed=False),
+        text_col="content", id_cols=("doc_id",), doc_id_col="doc_id",
+        shards=2)
+    b1 = spark.createDataFrame(
+        [(1, "alpha bravo charlie"), (2, "delta echo foxtrot")],
+        "doc_id long, content string")
+    b2 = spark.createDataFrame(
+        [(2, "golf hotel india"), (3, "juliet kilo lima")],
+        "doc_id long, content string")
+    idx.process_batch(b1, 0)
+    idx.process_batch(b2, 1)
+    out = idx.compact()
+    stats = out.read_stats()
+    assert stats["fields"]["main"]["n_docs"] == 3  # doc 2 upserted, not dup
+    eng = SearchEngine(spark, out.root)
+    # the re-ingested doc 2 must carry the LATER segment's content
+    assert {r["doc_id"] for r in
+            eng.match_query("golf", size=10).collect()} == {2}
+    assert eng.match_query("delta", size=10).count() == 0

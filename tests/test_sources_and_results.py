@@ -186,3 +186,31 @@ def test_jsonl_side_output_roundtrip(spark, tmp_path):
     df.coalesce(1).write.json(out)
     back = spark.read.json(out)
     assert {(r["doc_id"], r["text"]) for r in back.collect()} == {(1, "a"), (2, "b")}
+
+
+def test_spark_submit_pyfiles_deploy(tmp_path):
+    """North-rule deployment mode: `spark-submit --py-files <pkg.zip>` runs
+    the engine with the package resolved from the shipped zip, not the repo
+    checkout (PYTHONPATH is scrubbed for the child)."""
+    import json
+    import os
+    import shutil
+    import subprocess
+    from elasticsearch_alps_spark.session import build_pyfiles_zip
+
+    submit = shutil.which("spark-submit") or "/opt/spark/bin/spark-submit"
+    if not os.path.exists(submit):
+        import pytest as _pytest
+        _pytest.skip("spark-submit not available")
+    zip_path = build_pyfiles_zip(str(tmp_path / "alps.zip"))
+    env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+    out = subprocess.run(
+        [submit, "--master", "local[4]", "--py-files", zip_path,
+         os.path.join(os.path.dirname(os.path.dirname(
+             os.path.abspath(__file__))), "tools", "submit_demo.py"),
+         str(tmp_path / "idx")],
+        capture_output=True, text=True, timeout=420, env=env, cwd=str(tmp_path))
+    assert out.returncode == 0, out.stderr[-2000:]
+    line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+    payload = json.loads(line)
+    assert payload["n_docs"] > 0 and payload["hits"] > 0

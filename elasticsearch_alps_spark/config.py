@@ -178,6 +178,10 @@ class QueryConfig:
     # upper bound (min term df) is at most this many rows (~8 B/row → ≤40 MB);
     # above it the semi-join shuffles instead of broadcasting
     phrase_broadcast_max_candidates: int = 5_000_000
+    # phrase driver path: when the candidate bound (min term df) is at most
+    # this, fetch positions ONLY for the candidate docs via an IN-list second
+    # fetch (a hot∧rare phrase then never transfers the hot term's blobs)
+    phrase_driver_candidate_fetch_max: int = 4096
 
     def __post_init__(self):
         if not isinstance(self.match_phrase_slop, list):

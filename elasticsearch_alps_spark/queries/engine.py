@@ -391,13 +391,34 @@ class SearchEngine:
             return None
         from elasticsearch_alps_spark.indexing.postings import decode_positions
         tl = ", ".join("'" + t.replace("'", "''") + "'" for t in uniq)
-        pdf = self.spark.sql(
-            f"SELECT term, doc_id, freq, dl, positions "
-            f"FROM {self._postings_view(field)} WHERE term IN ({tl})").toPandas()
         n_terms = len(uniq)
-        counts = pdf.groupby("doc_id")["term"].nunique()
-        cand_ids = set(counts.index[counts == n_terms])
-        sub = pdf[pdf["doc_id"].isin(cand_ids)]
+        view = self._postings_view(field)
+        min_df = min(dfs[t] for t in uniq)
+        if min_df <= self.qcfg.phrase_driver_candidate_fetch_max:
+            # two-fetch variant (mirrors the distributed two-phase plan): a
+            # positions-FREE fetch finds conjunction candidates (≤ min df of
+            # the phrase terms), then positions transfer only for those docs
+            # — a hot∧rare phrase skips the hot term's position blobs
+            light = self.spark.sql(
+                f"SELECT term, doc_id, freq, dl FROM {view} "
+                f"WHERE term IN ({tl})").toPandas()
+            counts = light.groupby("doc_id")["term"].nunique()
+            cand_ids = set(int(d) for d in counts.index[counts == n_terms])
+            if not cand_ids:
+                return self._empty_hits()
+            il = ", ".join(str(d) for d in sorted(cand_ids))
+            pos_pdf = self.spark.sql(
+                f"SELECT term, doc_id, positions FROM {view} "
+                f"WHERE term IN ({tl}) AND doc_id IN ({il})").toPandas()
+            sub = light[light["doc_id"].isin(cand_ids)].merge(
+                pos_pdf, on=["term", "doc_id"])
+        else:
+            pdf = self.spark.sql(
+                f"SELECT term, doc_id, freq, dl, positions "
+                f"FROM {view} WHERE term IN ({tl})").toPandas()
+            counts = pdf.groupby("doc_id")["term"].nunique()
+            cand_ids = set(counts.index[counts == n_terms])
+            sub = pdf[pdf["doc_id"].isin(cand_ids)]
         _, avgdl = self._fstat(field)
         k1, b = self.k1, self.b
         scored = []

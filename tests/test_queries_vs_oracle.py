@@ -226,3 +226,15 @@ def test_register_views_sql_surface(spark, engine):
         "SELECT term, df FROM t_alps_term_stats_main ORDER BY df DESC LIMIT 1"
     ).first()
     assert top["df"] > 0
+
+
+@pytest.mark.parametrize("q,slop", [("def main", 0), ("import numpy as np", 1)])
+def test_phrase_driver_single_fetch_branch(spark, built_index, oracle_index,
+                                           q, slop):
+    """Force the driver phrase path's single-fetch variant (candidate bound
+    over phrase_driver_candidate_fetch_max) — must match the oracle too."""
+    eng = SearchEngine(spark, built_index.root,
+                       QueryConfig(phrase_driver_candidate_fetch_max=0))
+    assert_hits_equal(eng.match_phrase_query(q, slop),
+                      oracle_index.match_phrase_query(q, slop),
+                      f"phrase_single_fetch[{q},{slop}]")

@@ -132,7 +132,7 @@ def ivf_assign(emb: DataFrame, centroids: np.ndarray,
     cent_sq = (cent * cent).sum(axis=1)
 
     @F.pandas_udf("int")
-    def nearest(vecs: "pd.Series") -> "pd.Series":
+    def nearest(vecs):
         x = np.asarray([np.asarray(v, dtype=np.float64) for v in vecs])
         if not len(x):
             return pd.Series([], dtype="int32")

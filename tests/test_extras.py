@@ -221,3 +221,23 @@ class TestNgramSkewCap:
         # capped: ONLY the true near-dup pair survives (it shares 8 low-df
         # shingles beyond the stop phrase)
         assert capped == {(100, 101)}
+
+
+def test_ivf_assign_vectorized_matches_catalyst(spark):
+    """k>64 switches ivf_assign to the numpy-per-batch path — cells must
+    agree with the Catalyst expression path on the same centroids."""
+    import numpy as np
+    from elasticsearch_alps_spark.extras.simsearch import ivf_assign
+    rng = np.random.RandomState(0)
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in rng.standard_normal(8)]) for i in range(80)],
+        "vec_id long, embedding array<float>")
+    cents_small = rng.standard_normal((10, 8))
+    cat = {r["vec_id"]: r["ivf_cell"]
+           for r in ivf_assign(emb, cents_small).collect()}
+    # pad the same 10 centroids with 60 far-away ones: the vectorized branch
+    # (k=70 > 64) must still pick the same nearest of the first 10
+    cents_big = np.vstack([cents_small, 1e6 + rng.standard_normal((60, 8))])
+    vec = {r["vec_id"]: r["ivf_cell"]
+           for r in ivf_assign(emb, cents_big).collect()}
+    assert cat == vec

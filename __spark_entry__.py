@@ -533,6 +533,53 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .orderBy("event_type"))
     q["agg_events_summary"] = agg_events
 
+    # ---- general OLAP shapes over the TPC-H-ish tables (§2.5 G aggs, §2.6
+    # broadcast joins) — float discipline: only order-independent stats
+    # (counts, min/max) or exact-integral sums cross the compare boundary
+    def tpch_orders_by_status(s, sf):
+        o = s.read.parquet(os.path.join(sf, "orders.parquet"))
+        return (o.groupBy("o_orderstatus")
+                .agg(F.count("*").alias("n"),
+                     F.round(F.min("o_totalprice"), 6).alias("min_price"),
+                     F.round(F.max("o_totalprice"), 6).alias("max_price"),
+                     F.countDistinct("o_custkey").alias("customers"))
+                .orderBy("o_orderstatus"))
+    q["tpch_orders_by_status"] = tpch_orders_by_status
+
+    def tpch_top_customers(s, sf):
+        o = s.read.parquet(os.path.join(sf, "orders.parquet"))
+        c = s.read.parquet(os.path.join(sf, "customer.parquet"))
+        counts = (o.groupBy("o_custkey").agg(F.count("*").alias("n_orders")))
+        return (counts.join(F.broadcast(c.select(
+                    F.col("c_custkey"), "c_name")),
+                    counts["o_custkey"] == c["c_custkey"])
+                .select(F.col("c_custkey").cast("long").alias("c_custkey"),
+                        "c_name", "n_orders")
+                .orderBy(F.desc("n_orders"), F.asc("c_custkey")).limit(20))
+    q["tpch_top_customers"] = tpch_top_customers
+
+    def tpch_pricing_summary(s, sf):
+        li = s.read.parquet(os.path.join(sf, "lineitem.parquet"))
+        return (li.groupBy("l_returnflag", "l_linestatus")
+                .agg(F.sum("l_quantity").cast("long").alias("sum_qty"),
+                     F.count("*").alias("n"),
+                     F.round(F.max("l_extendedprice"), 6).alias("max_price"),
+                     F.round(F.min("l_discount"), 6).alias("min_disc"))
+                .orderBy("l_returnflag", "l_linestatus"))
+    q["tpch_pricing_summary"] = tpch_pricing_summary
+
+    def tpch_region_customers(s, sf):
+        r = s.read.parquet(os.path.join(sf, "region.parquet"))
+        n = s.read.parquet(os.path.join(sf, "nation.parquet"))
+        c = s.read.parquet(os.path.join(sf, "customer.parquet"))
+        return (c.join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+                .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+                .groupBy("r_name")
+                .agg(F.count("*").alias("n_customers"),
+                     F.countDistinct("n_name").alias("n_nations"))
+                .orderBy("r_name"))
+    q["tpch_region_customers"] = tpch_region_customers
+
     def agg_docs_by_lang(s, sf):
         d = docs_df(s, sf)
         return (d.groupBy("lang")
@@ -772,6 +819,30 @@ SELECT doc_id::BIGINT AS id,
        md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint
 FROM documents ORDER BY id"""
 
+    o["tpch_orders_by_status"] = """
+SELECT o_orderstatus, count(*)::BIGINT AS n,
+       ROUND(min(o_totalprice), 6) AS min_price,
+       ROUND(max(o_totalprice), 6) AS max_price,
+       count(DISTINCT o_custkey)::BIGINT AS customers
+FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"""
+    o["tpch_top_customers"] = """
+SELECT c.c_custkey::BIGINT AS c_custkey, c.c_name,
+       n.n_orders::BIGINT AS n_orders
+FROM (SELECT o_custkey, count(*) AS n_orders FROM orders GROUP BY o_custkey) n
+JOIN customer c ON c.c_custkey = n.o_custkey
+ORDER BY n_orders DESC, c_custkey ASC LIMIT 20"""
+    o["tpch_pricing_summary"] = """
+SELECT l_returnflag, l_linestatus, sum(l_quantity)::BIGINT AS sum_qty,
+       count(*)::BIGINT AS n, ROUND(max(l_extendedprice), 6) AS max_price,
+       ROUND(min(l_discount), 6) AS min_disc
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus"""
+    o["tpch_region_customers"] = """
+SELECT r.r_name, count(*)::BIGINT AS n_customers,
+       count(DISTINCT n.n_name)::BIGINT AS n_nations
+FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name ORDER BY r.r_name"""
     o["agg_events_summary"] = """
 SELECT event_type, count(*)::BIGINT AS n,
        ROUND(min(value), 6) AS min_v, ROUND(max(value), 6) AS max_v,

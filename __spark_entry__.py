@@ -580,6 +580,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .orderBy("r_name"))
     q["tpch_region_customers"] = tpch_region_customers
 
+    # §2.8 window functions: sessionization (30-min inactivity gap) — lag
+    # window + cumulative sum of session starts, per user; all-integer output
+    def evx_sessionize(s, sf):
+        from pyspark.sql import Window
+        ev = s.read.parquet(os.path.join(sf, "events.parquet"))
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        # exact microsecond-precision gap test on both engines: a session
+        # break iff ts > prev + 30 min (pure timestamp comparison — no
+        # second-truncation semantics to disagree on)
+        ev = ev.withColumn("_prev", F.lag("ts").over(w))
+        new_sess = F.when(
+            F.col("_prev").isNull()
+            | (F.col("ts") > F.expr("_prev + INTERVAL 1800 SECOND")),
+            1).otherwise(0)
+        sess = (ev.withColumn("_new", new_sess)
+                  .withColumn("session_id",
+                              F.sum("_new").over(
+                                  w.rowsBetween(Window.unboundedPreceding, 0))))
+        return (sess.groupBy("user_id")
+                .agg(F.max("session_id").cast("long").alias("n_sessions"),
+                     F.count("*").alias("n_events"))
+                .select(F.col("user_id").cast("long").alias("user_id"),
+                        "n_sessions", "n_events")
+                .orderBy("user_id"))
+    q["evx_sessionize"] = evx_sessionize
+
     def agg_docs_by_lang(s, sf):
         d = docs_df(s, sf)
         return (d.groupBy("lang")
@@ -848,6 +874,23 @@ SELECT event_type, count(*)::BIGINT AS n,
        ROUND(min(value), 6) AS min_v, ROUND(max(value), 6) AS max_v,
        count(DISTINCT user_id)::BIGINT AS users
 FROM events GROUP BY event_type ORDER BY event_type"""
+    o["evx_sessionize"] = """
+WITH g AS (
+  SELECT user_id, ts, event_id,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events
+),
+s AS (
+  SELECT user_id,
+         sum(CASE WHEN prev IS NULL OR ts > prev + INTERVAL 1800 SECOND
+                  THEN 1 ELSE 0 END) OVER
+           (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM g
+)
+SELECT user_id::BIGINT AS user_id, max(session_id)::BIGINT AS n_sessions,
+       count(*)::BIGINT AS n_events
+FROM s GROUP BY user_id ORDER BY user_id"""
     o["agg_docs_by_lang"] = """
 SELECT lang, count(*)::BIGINT AS n,
        ROUND(avg(n_chars), 6) AS avg_chars,

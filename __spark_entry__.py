@@ -580,6 +580,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .orderBy("r_name"))
     q["tpch_region_customers"] = tpch_region_customers
 
+    # custom operator (brief §custom operators): as-of join — every purchase
+    # event gets the most recent view event's value per user (point-in-time
+    # feature lookup; union+window shape, not a range join)
+    def evx_asof_purchase_view(s, sf):
+        from elasticsearch_alps_spark.extras.asof import asof_join
+        ev = s.read.parquet(os.path.join(sf, "events.parquet"))
+        purchases = (ev.filter(F.col("event_type") == "purchase")
+                     .select("event_id", "user_id", "ts", "value"))
+        views = (ev.filter(F.col("event_type") == "view")
+                 .select("user_id", "ts", "value"))
+        return (asof_join(purchases, views, "user_id")
+                .select(F.col("event_id").cast("long").alias("event_id"),
+                        F.col("user_id").cast("long").alias("user_id"),
+                        F.round("value", 6).alias("value"),
+                        F.round("value_asof", 6).alias("view_value"))
+                .orderBy("event_id"))
+    q["evx_asof_purchase_view"] = evx_asof_purchase_view
+
     # §2.8 window functions: sessionization (30-min inactivity gap) — lag
     # window + cumulative sum of session starts, per user; all-integer output
     def evx_sessionize(s, sf):
@@ -874,6 +892,14 @@ SELECT event_type, count(*)::BIGINT AS n,
        ROUND(min(value), 6) AS min_v, ROUND(max(value), 6) AS max_v,
        count(DISTINCT user_id)::BIGINT AS users
 FROM events GROUP BY event_type ORDER BY event_type"""
+    o["evx_asof_purchase_view"] = """
+WITH p AS (SELECT event_id, user_id, ts, value FROM events
+           WHERE event_type = 'purchase'),
+     v AS (SELECT user_id, ts, value FROM events WHERE event_type = 'view')
+SELECT p.event_id::BIGINT AS event_id, p.user_id::BIGINT AS user_id,
+       ROUND(p.value, 6) AS value, ROUND(v.value, 6) AS view_value
+FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND v.ts <= p.ts
+ORDER BY event_id"""
     o["evx_sessionize"] = """
 WITH g AS (
   SELECT user_id, ts, event_id,

@@ -241,3 +241,51 @@ def test_ivf_assign_vectorized_matches_catalyst(spark):
     vec = {r["vec_id"]: r["ivf_cell"]
            for r in ivf_assign(emb, cents_big).collect()}
     assert cat == vec
+
+
+class TestAsofJoin:
+    def test_semantics_exact_and_strict(self, spark):
+        from elasticsearch_alps_spark.extras.asof import asof_join
+        left = spark.createDataFrame(
+            [(1, 10, "a"), (1, 20, "b"), (2, 5, "c")],
+            "k long, ts long, name string")
+        right = spark.createDataFrame(
+            [(1, 10, 100.0), (1, 15, 150.0), (2, 99, 900.0)],
+            "k long, ts long, rv double")
+        got = {(r["k"], r["ts"]): r["rv_asof"]
+               for r in asof_join(left, right, "k", "ts").collect()}
+        assert got == {(1, 10): 100.0, (1, 20): 150.0, (2, 5): None}
+        strict = {(r["k"], r["ts"]): r["rv_asof"]
+                  for r in asof_join(left, right, "k", "ts",
+                                     allow_exact_matches=False).collect()}
+        assert strict == {(1, 10): None, (1, 20): 150.0, (2, 5): None}
+
+    def test_matches_naive_on_events(self, spark):
+        """Property: equal to the naive per-row max-ts lookup on real data."""
+        from elasticsearch_alps_spark.extras.asof import asof_join
+        ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        purchases = ev.filter(F.col("event_type") == "purchase") \
+                      .select("event_id", "user_id", "ts")
+        views = ev.filter(F.col("event_type") == "view") \
+                  .select("user_id", "ts", "value")
+        got = {r["event_id"]: r["value_asof"]
+               for r in asof_join(purchases, views, "user_id").collect()}
+        vrows = {}
+        for r in views.collect():
+            vrows.setdefault(r["user_id"], []).append((r["ts"], r["value"]))
+        for p in purchases.collect():
+            cands = [(t, v) for t, v in vrows.get(p["user_id"], [])
+                     if t <= p["ts"]]
+            want = max(cands)[1] if cands else None
+            assert got[p["event_id"]] == want, p["event_id"]
+
+    def test_no_join_explosion_in_plan(self, spark):
+        """The plan must be union+window, not a range theta-join."""
+        from elasticsearch_alps_spark.extras.asof import asof_join
+        ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        df = asof_join(ev.select("event_id", "user_id", "ts"),
+                       ev.select("user_id", "ts", "value"), "user_id")
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "Window" in plan and "Union" in plan

@@ -599,23 +599,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["evx_asof_purchase_view"] = evx_asof_purchase_view
 
     # §2.8 window functions: sessionization (30-min inactivity gap) — lag
-    # window + cumulative sum of session starts, per user; all-integer output
+    # window + cumulative sum of session starts, per user; all-integer
+    # output. Gap test is a pure timestamp+INTERVAL comparison so both
+    # engines agree at microsecond precision (no second-truncation quirks).
     def evx_sessionize(s, sf):
-        from pyspark.sql import Window
+        from elasticsearch_alps_spark.extras.temporal import sessionize
         ev = s.read.parquet(os.path.join(sf, "events.parquet"))
-        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-        # exact microsecond-precision gap test on both engines: a session
-        # break iff ts > prev + 30 min (pure timestamp comparison — no
-        # second-truncation semantics to disagree on)
-        ev = ev.withColumn("_prev", F.lag("ts").over(w))
-        new_sess = F.when(
-            F.col("_prev").isNull()
-            | (F.col("ts") > F.expr("_prev + INTERVAL 1800 SECOND")),
-            1).otherwise(0)
-        sess = (ev.withColumn("_new", new_sess)
-                  .withColumn("session_id",
-                              F.sum("_new").over(
-                                  w.rowsBetween(Window.unboundedPreceding, 0))))
+        sess = sessionize(ev, "user_id", "ts", order_cols=("event_id",))
         return (sess.groupBy("user_id")
                 .agg(F.max("session_id").cast("long").alias("n_sessions"),
                      F.count("*").alias("n_events"))
@@ -623,6 +613,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                         "n_sessions", "n_events")
                 .orderBy("user_id"))
     q["evx_sessionize"] = evx_sessionize
+
+    # bucketed point-in-interval join: purchases attributed to the click
+    # session window they fall into (extras.temporal — explode-to-buckets
+    # equi-join, not a range theta-join)
+    def evx_purchase_in_click_session(s, sf):
+        from elasticsearch_alps_spark.extras.temporal import (
+            point_in_interval_join, session_intervals,
+        )
+        ev = s.read.parquet(os.path.join(sf, "events.parquet"))
+        clicks = ev.filter(F.col("event_type") == "click") \
+                   .select("user_id", "ts", "event_id")
+        iv = (session_intervals(clicks, "user_id", "ts",
+                                order_cols=("event_id",))
+              # ±30 min attribution padding around each click session
+              .withColumn("start", F.expr("start - INTERVAL 1800 SECOND"))
+              .withColumn("end", F.expr("end + INTERVAL 1800 SECOND")))
+        purchases = ev.filter(F.col("event_type") == "purchase") \
+                      .select("event_id", "user_id", "ts")
+        out = point_in_interval_join(purchases, iv, "user_id",
+                                     payload_cols=["session_id"])
+        return (out.select(F.col("event_id").cast("long").alias("event_id"),
+                           F.col("user_id").cast("long").alias("user_id"),
+                           F.col("session_id").cast("long").alias("session_id"))
+                .orderBy("event_id", "session_id"))
+    q["evx_purchase_in_click_session"] = evx_purchase_in_click_session
 
     def agg_docs_by_lang(s, sf):
         d = docs_df(s, sf)
@@ -900,6 +915,29 @@ SELECT p.event_id::BIGINT AS event_id, p.user_id::BIGINT AS user_id,
        ROUND(p.value, 6) AS value, ROUND(v.value, 6) AS view_value
 FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND v.ts <= p.ts
 ORDER BY event_id"""
+    o["evx_purchase_in_click_session"] = """
+WITH c AS (SELECT user_id, ts, event_id FROM events
+           WHERE event_type = 'click'),
+g AS (SELECT user_id, ts, event_id,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      FROM c),
+s AS (SELECT user_id, ts,
+             sum(CASE WHEN prev IS NULL OR ts > prev + INTERVAL 1800 SECOND
+                      THEN 1 ELSE 0 END) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM g),
+iv AS (SELECT user_id, session_id,
+              min(ts) - INTERVAL 1800 SECOND AS s_start,
+              max(ts) + INTERVAL 1800 SECOND AS s_end
+       FROM s GROUP BY user_id, session_id),
+p AS (SELECT event_id, user_id, ts FROM events
+      WHERE event_type = 'purchase')
+SELECT p.event_id::BIGINT AS event_id, p.user_id::BIGINT AS user_id,
+       iv.session_id::BIGINT AS session_id
+FROM p JOIN iv ON p.user_id = iv.user_id
+              AND p.ts BETWEEN iv.s_start AND iv.s_end
+ORDER BY event_id, session_id"""
     o["evx_sessionize"] = """
 WITH g AS (
   SELECT user_id, ts, event_id,

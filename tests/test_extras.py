@@ -289,3 +289,55 @@ class TestAsofJoin:
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
         assert "Window" in plan and "Union" in plan
+
+
+class TestTemporal:
+    def test_sessionize_gap_semantics(self, spark):
+        from datetime import datetime
+        from elasticsearch_alps_spark.extras.temporal import sessionize
+        t = lambda m, s=0: datetime(2026, 1, 1, 10, m, s)
+        df = spark.createDataFrame(
+            [(1, t(0)), (1, t(29)), (1, t(59, 1)),  # 30:01 gap → new session
+             (2, t(0))],
+            "user_id long, ts timestamp")
+        got = {(r["user_id"], r["ts"].minute): r["session_id"]
+               for r in sessionize(df).collect()}
+        assert got == {(1, 0): 1, (1, 29): 1, (1, 59): 2, (2, 0): 1}
+
+    def test_point_in_interval_matches_naive(self, spark):
+        from elasticsearch_alps_spark.extras.temporal import (
+            point_in_interval_join, session_intervals,
+        )
+        ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        clicks = ev.filter(F.col("event_type") == "click") \
+                   .select("user_id", "ts", "event_id")
+        iv = (session_intervals(clicks, order_cols=("event_id",))
+              .withColumn("start", F.expr("start - INTERVAL 1800 SECOND"))
+              .withColumn("end", F.expr("end + INTERVAL 1800 SECOND")))
+        pts = ev.filter(F.col("event_type") == "error") \
+                .select("event_id", "user_id", "ts")
+        got = {(r["event_id"], r["session_id"]) for r in
+               point_in_interval_join(pts, iv, "user_id",
+                                      payload_cols=["session_id"]).collect()}
+        ivs = iv.collect()
+        want = set()
+        for p in pts.collect():
+            for r in ivs:
+                if (r["user_id"] == p["user_id"]
+                        and r["start"] <= p["ts"] <= r["end"]):
+                    want.add((p["event_id"], r["session_id"]))
+        assert got == want and want  # non-trivial on this fixture
+
+    def test_point_in_interval_plan_no_explosion(self, spark):
+        from elasticsearch_alps_spark.extras.temporal import (
+            point_in_interval_join, session_intervals,
+        )
+        ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        iv = session_intervals(ev.select("user_id", "ts", "event_id"),
+                               order_cols=("event_id",))
+        df = point_in_interval_join(
+            ev.select("event_id", "user_id", "ts"), iv, "user_id",
+            payload_cols=["session_id"])
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan

@@ -295,6 +295,30 @@ SELECT id, ROUND(cosine, 5) AS cosine FROM scored
 ORDER BY ROUND(cosine, 5) DESC, id ASC LIMIT {k}"""
 
 
+def _sql_embed_cosine_lsh(n_planes: int, seed: int, dim: int,
+                          threshold: float) -> str:
+    import numpy as np
+    planes = np.random.RandomState(seed).standard_normal((n_planes, dim))
+    vbucket = " + ".join(
+        f"CASE WHEN ({_seq_weighted_sum('e.embedding', planes[j], dim)}) > 0 "
+        f"THEN {1 << j} ELSE 0 END" for j in range(n_planes))
+    dot = ("list_sum(list_transform(generate_series(1, len(a.embedding)), "
+           "i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))")
+    return f"""
+WITH vb AS (
+  SELECT e.vec_id::BIGINT AS id, e.embedding,
+         sqrt(list_sum(list_transform(e.embedding,
+              x -> x::DOUBLE * x::DOUBLE))) AS nrm,
+         ({vbucket}) AS bucket
+  FROM embeddings e
+)
+SELECT a.id AS id_a, b.id AS id_b,
+       ROUND({dot} / (a.nrm * b.nrm), 5) AS cosine
+FROM vb a JOIN vb b ON a.bucket = b.bucket AND a.id < b.id
+WHERE {dot} / (a.nrm * b.nrm) >= {threshold}
+ORDER BY id_a, id_b"""
+
+
 def _ivf_oracle_centroids(sf_dir: str, n_centroids: int, iters: int,
                           sample: int, seed: int):
     """Refit the gate's IVF centroids from the SAME rows ivf_fit_centroids
@@ -484,6 +508,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                      threshold=0.9)
         .select("id_a", "id_b", F.round("cosine", 5).alias("cosine"))
         .orderBy("id_a", "id_b"))
+
+    # the SCALE path for embedding dedup: LSH bucket blocking wired in (the
+    # r1 block_col hook, now gate-verified) — only same-bucket pairs compare
+    def dx_embed_cosine_lsh(s, sf):
+        e = simsearch.hyperplane_buckets(emb_df(s, sf), n_planes=6, seed=42,
+                                         dim=64)
+        return (dedup.embedding_cosine_pairs(e, "vec_id", "embedding",
+                                             threshold=0.5,
+                                             block_col="lsh_bucket")
+                .select("id_a", "id_b", F.round("cosine", 5).alias("cosine"))
+                .orderBy("id_a", "id_b"))
+    q["dx_embed_cosine_lsh"] = dx_embed_cosine_lsh
 
     # ---- similarity search ----
     def ann_brute(s, sf):
@@ -775,6 +811,8 @@ ORDER BY id_a, id_b"""
         # if unavailable, degrade to the rows-only check rather than a
         # hard oracle error
         pass
+    o["dx_embed_cosine_lsh"] = _sql_embed_cosine_lsh(n_planes=6, seed=42,
+                                                     dim=64, threshold=0.5)
     o["dx_embed_cosine"] = """
 WITH e AS (
   SELECT vec_id::BIGINT AS id, embedding,

@@ -82,7 +82,8 @@ def main() -> None:
         # corpus size (runtime-settable, does not affect the stored index)
         spark.conf.set("spark.sql.shuffle.partitions", "8")
         eng = SearchEngine(spark, paths.root, QueryConfig(), cache=True)
-        wand = SearchEngine(spark, paths.root, QueryConfig(use_wand=True))
+        wand = SearchEngine(spark, paths.root, QueryConfig(use_wand=True),
+                            cache=True)
         eng.match_query("def").collect()  # warm caches / JVM
         lat_ms = []
         by_type: dict[str, list] = {"match": [], "phrase": [], "fuzzy": []}

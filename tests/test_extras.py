@@ -341,3 +341,18 @@ class TestTemporal:
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_embed_cosine_block_col_wired(spark):
+    """r2 fix: block_col survives the projection; blocked pairs ⊆ full pairs
+    and every blocked pair shares a bucket."""
+    from elasticsearch_alps_spark.extras.dedup import embedding_cosine_pairs
+    from elasticsearch_alps_spark.extras.simsearch import hyperplane_buckets
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    b = hyperplane_buckets(emb, n_planes=4, seed=1)
+    full = {(r["id_a"], r["id_b"]) for r in
+            embedding_cosine_pairs(emb, threshold=0.4).collect()}
+    blocked = {(r["id_a"], r["id_b"]) for r in
+               embedding_cosine_pairs(b, threshold=0.4,
+                                      block_col="lsh_bucket").collect()}
+    assert blocked and blocked <= full

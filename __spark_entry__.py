@@ -515,7 +515,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         e = simsearch.hyperplane_buckets(emb_df(s, sf), n_planes=6, seed=42,
                                          dim=64)
         return (dedup.embedding_cosine_pairs(e, "vec_id", "embedding",
-                                             threshold=0.5,
+                                             threshold=0.4,
                                              block_col="lsh_bucket")
                 .select("id_a", "id_b", F.round("cosine", 5).alias("cosine"))
                 .orderBy("id_a", "id_b"))
@@ -812,7 +812,7 @@ ORDER BY id_a, id_b"""
         # hard oracle error
         pass
     o["dx_embed_cosine_lsh"] = _sql_embed_cosine_lsh(n_planes=6, seed=42,
-                                                     dim=64, threshold=0.5)
+                                                     dim=64, threshold=0.4)
     o["dx_embed_cosine"] = """
 WITH e AS (
   SELECT vec_id::BIGINT AS id, embedding,

@@ -81,9 +81,11 @@ def main() -> None:
         # partitions — per-query aggregation state is tiny regardless of
         # corpus size (runtime-settable, does not affect the stored index)
         spark.conf.set("spark.sql.shuffle.partitions", "8")
+        # NOT cache=True for the WAND engine: caching materializes the WHOLE
+        # packed table on first touch and trades away parquet term pushdown —
+        # measured 2× slower for a short query burst
         eng = SearchEngine(spark, paths.root, QueryConfig(), cache=True)
-        wand = SearchEngine(spark, paths.root, QueryConfig(use_wand=True),
-                            cache=True)
+        wand = SearchEngine(spark, paths.root, QueryConfig(use_wand=True))
         eng.match_query("def").collect()  # warm caches / JVM
         lat_ms = []
         by_type: dict[str, list] = {"match": [], "phrase": [], "fuzzy": []}

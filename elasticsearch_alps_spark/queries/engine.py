@@ -123,10 +123,15 @@ class SearchEngine:
         uniq = list(dict.fromkeys(terms))
         if not uniq:
             return {}
-        hot, ceiling = self._hot_dfs(field)
+        # consult the hot-term cache only if some OTHER path already paid to
+        # build it (the hybrid scorer's budget check does) — a fresh engine
+        # with the driver path disabled must not trade a tiny pruned lookup
+        # for a top-50k collect it will never amortize
+        cached = getattr(self, "_hot_df_cache", None) or {}
+        hot, ceiling = cached.get(field, ({}, -1))
         out = {t: hot[t] for t in uniq if t in hot}
         missing = [t for t in uniq if t not in hot]
-        if missing and ceiling > 0:
+        if missing and ceiling != 0:
             rows = (self._term_stats[field]
                     .filter(F.col("term").isin(missing))
                     .select("term", "df").collect())

@@ -155,3 +155,25 @@ def test_no_leaked_persisted_rdds_after_build(spark, corpus_df, tmp_path):
     build_index(spark, corpus_df, str(tmp_path / "idx_leak"), shards=4)
     after = spark.sparkContext._jsc.getPersistentRDDs().size()
     assert after <= before, f"build leaked {after - before} persisted RDD(s)"
+
+
+def test_topk_stable_under_repartitioning(spark, built_index, corpus_df,
+                                          tmp_path):
+    """SURVEY §5 item 3: the same corpus indexed with a different shard count
+    AND a pre-shuffled input partitioning must produce identical top-k
+    (doc_id, score) for every query type."""
+    from elasticsearch_alps_spark.config import QueryConfig
+    from elasticsearch_alps_spark.queries.engine import SearchEngine
+    shuffled = corpus_df.repartition(11)
+    alt = build_index(spark, shuffled, str(tmp_path / "idx_reshard"),
+                      IndexConfig(), shards=3)
+    e1 = SearchEngine(spark, built_index.root, QueryConfig())
+    e2 = SearchEngine(spark, alt.root, QueryConfig())
+    for q in ("def main", "parse json config", "the value of the result"):
+        for fn in ("match_query", "match_phrase_query", "fuzzy_query"):
+            a = [(r["doc_id"], round(r["score"], 9))
+                 for r in getattr(e1, fn)(q).collect()]
+            b = [(r["doc_id"], round(r["score"], 9))
+                 for r in getattr(e2, fn)(q).collect()]
+            assert sorted(a, key=lambda t: (-t[1], t[0])) == \
+                sorted(b, key=lambda t: (-t[1], t[0])), (fn, q)

@@ -80,22 +80,48 @@ class SearchEngine:
             self._analyzers[field] = _analyzer_from_name(fstats["analyzer"])
         self._docs: Optional[DataFrame] = None
         self.results: List[dict] = []
-        # total-hits source of the most recent query (for the reference's
-        # total_hits stat, G3) — set by every query method via _set_total:
-        # an exact count when known driver-side, an Observation riding the
-        # scoring aggregation (collected for free by the top-k action — no
-        # second job, r2 VERDICT wrong #8), or a recount plan as last resort
-        self._last_total_df: Optional[DataFrame] = None
-        self._last_total_count: Optional[int] = None
-        self._last_total_obs = None
+        # total-hits source of the most recent query ON THIS THREAD (for the
+        # reference's total_hits stat, G3) — set by every query method via
+        # _set_total: an exact count when known driver-side, an Observation
+        # riding the scoring aggregation (collected for free by the top-k
+        # action — no second job, r2 VERDICT wrong #8), or a recount plan as
+        # last resort. Thread-LOCAL so a serving tier can run concurrent
+        # queries through one engine without cross-talk (Spark job submission
+        # itself is thread-safe).
+        import threading
+        self._totals = threading.local()
 
     def _set_total(self, df: Optional[DataFrame] = None,
                    count: Optional[int] = None, obs=None) -> None:
         """Reset ALL total-hits sources (a stale count from the previous
         query must never leak into the next response)."""
-        self._last_total_df = df
-        self._last_total_count = count
-        self._last_total_obs = obs
+        self._totals.df = df
+        self._totals.count = count
+        self._totals.obs = obs
+
+    @property
+    def _last_total_df(self):
+        return getattr(self._totals, "df", None)
+
+    @_last_total_df.setter
+    def _last_total_df(self, v):
+        self._totals.df = v
+
+    @property
+    def _last_total_count(self):
+        return getattr(self._totals, "count", None)
+
+    @_last_total_count.setter
+    def _last_total_count(self, v):
+        self._totals.count = v
+
+    @property
+    def _last_total_obs(self):
+        return getattr(self._totals, "obs", None)
+
+    @_last_total_obs.setter
+    def _last_total_obs(self, v):
+        self._totals.obs = v
 
     # ------------------------------------------------------------------ utils
 

@@ -238,3 +238,25 @@ def test_phrase_driver_single_fetch_branch(spark, built_index, oracle_index,
     assert_hits_equal(eng.match_phrase_query(q, slop),
                       oracle_index.match_phrase_query(q, slop),
                       f"phrase_single_fetch[{q},{slop}]")
+
+
+def test_concurrent_queries_one_engine(spark, built_index, oracle_index):
+    """Serving-tier shape: several threads querying ONE engine concurrently
+    must each get a correct response (total-hits bookkeeping is thread-local;
+    Spark job submission is thread-safe)."""
+    from concurrent.futures import ThreadPoolExecutor
+    eng = SearchEngine(spark, built_index.root,
+                       QueryConfig(driver_score_max_postings=0), cache=True)
+    cases = ["def", "parse json config", "def main", "import",
+             "the value of the result", "beautiful optimization"]
+    expected = {q: len(oracle_index.match_query(q, "or", size=10_000))
+                for q in cases}
+
+    def one(q):
+        hits = eng.match_query(q, "or")
+        row = eng._response(hits, q, "match_query")
+        return q, row["total_hits"]
+
+    with ThreadPoolExecutor(max_workers=4) as ex:
+        for q, total in ex.map(one, cases * 2):
+            assert total == min(expected[q], 10_000), q

@@ -87,7 +87,8 @@ def test_minimum_should_match(engine, oracle_index, q, pct):
 
 
 @pytest.mark.parametrize("q", ["def main", "import numpy as np",
-                               "parse json config", "query score frequency"])
+                               "parse json config", "query score frequency",
+                               "def def", "value value"])  # repeated-term
 @pytest.mark.parametrize("slop", [0, 1, 2])
 def test_match_phrase(engine, oracle_index, q, slop):
     assert_hits_equal(engine.match_phrase_query(q, slop),

@@ -235,18 +235,27 @@ FROM cand WHERE bit_count(xor(ha, hb)) <= {max_hamming}
 ORDER BY id_a, id_b"""
 
 
+# Both helpers produce STRICTLY SEQUENTIAL left-assoc folds via
+# list_reduce((a,b) -> a+b) — verified identical to explicit `t1 + t2 + ...`
+# chaining, which itself equals Spark's F.aggregate(0.0, acc+x) fold
+# (0.0 + t1 == t1 exactly). One literal-list copy per use site keeps the
+# generated SQL ~5× smaller than fully-expanded term chains.
+
+def _arr(vals) -> str:
+    return "[" + ", ".join(repr(float(v)) for v in vals) + "]"
+
+
 def _seq_weighted_sum(vec_expr: str, weights, dim: int) -> str:
-    """Explicit left-to-right `v[1]*w1 + v[2]*w2 + ...` — SQL's left-assoc
-    `+` reproduces Spark's F.aggregate sequential fold bit-for-bit."""
-    return " + ".join(f"({vec_expr}[{i + 1}]::DOUBLE * {float(weights[i])!r})"
-                      for i in range(dim))
+    return (f"list_reduce(list_transform(generate_series(1, {dim}), "
+            f"i -> {vec_expr}[i]::DOUBLE * ({_arr(weights)})[i]), "
+            f"(a, b) -> a + b)")
 
 
 def _seq_sqdist(vec_expr: str, center, dim: int) -> str:
-    return " + ".join(
-        f"(({vec_expr}[{i + 1}]::DOUBLE - {float(center[i])!r}) * "
-        f"({vec_expr}[{i + 1}]::DOUBLE - {float(center[i])!r}))"
-        for i in range(dim))
+    c = _arr(center)
+    return (f"list_reduce(list_transform(generate_series(1, {dim}), "
+            f"i -> ({vec_expr}[i]::DOUBLE - ({c})[i]) * "
+            f"({vec_expr}[i]::DOUBLE - ({c})[i])), (a, b) -> a + b)")
 
 
 _COS = """list_sum(list_transform(generate_series(1, len({v}.embedding)),

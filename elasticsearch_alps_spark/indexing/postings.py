@@ -108,6 +108,34 @@ def varint_decode_np(buf: bytes) -> np.ndarray:
     return out
 
 
+def varint_encode_np(values) -> bytes:
+    """Vectorized varint encode (r2 — completes the decode-side work: the
+    per-byte Python loop in ``varint_encode`` was the remaining hot-path
+    Python in block packing). Processes one 7-bit byte POSITION of every
+    value per numpy pass (≤ 10 passes for 64-bit inputs); property-tested
+    byte-identical to ``varint_encode``."""
+    v = np.asarray(values, dtype=np.uint64)
+    if not len(v):
+        return b""
+    nbytes = np.ones(len(v), dtype=np.int64)
+    tmp = v >> np.uint64(7)
+    while tmp.any():
+        nbytes += tmp > 0
+        tmp >>= np.uint64(7)
+    ends = np.cumsum(nbytes)
+    starts = ends - nbytes
+    out = np.empty(int(ends[-1]), dtype=np.uint8)
+    vv = v.copy()
+    for j in range(int(nbytes.max())):
+        mask = nbytes > j
+        idx = starts[mask] + j
+        b = (vv[mask] & np.uint64(0x7F)).astype(np.uint8)
+        cont = (nbytes[mask] > j + 1).astype(np.uint8)
+        out[idx] = b | (cont << 7)
+        vv >>= np.uint64(7)
+    return out.tobytes()
+
+
 def pack_block(doc_ids: np.ndarray, freqs: np.ndarray, dls: np.ndarray,
                positions: List[List[int]], k1: float, b: float,
                avgdl: float) -> Tuple[bytes, bytes, bytes, bytes, float]:
@@ -115,9 +143,9 @@ def pack_block(doc_ids: np.ndarray, freqs: np.ndarray, dls: np.ndarray,
     gaps = np.empty_like(doc_ids)
     gaps[0] = doc_ids[0]
     gaps[1:] = np.diff(doc_ids)
-    docs_b = varint_encode(gaps)
-    freqs_b = varint_encode(freqs)
-    dls_b = varint_encode(dls)
+    docs_b = varint_encode_np(gaps)
+    freqs_b = varint_encode_np(freqs)
+    dls_b = varint_encode_np(dls)
     if positions and isinstance(positions[0], (bytes, bytearray)):
         # already per-posting varint buffers (encode_positions) — concatenate
         pos_b = b"".join(bytes(p) for p in positions)

@@ -130,3 +130,13 @@ def test_encode_decode_positions_roundtrip_np(deltas):
         acc += d
     positions = sorted(set(positions))
     assert decode_positions(encode_positions(positions)) == positions
+
+
+@given(st.lists(st.integers(min_value=0, max_value=(1 << 62) - 1),
+                min_size=0, max_size=200))
+@settings(max_examples=300, deadline=None)
+def test_varint_encode_np_equals_pure(values):
+    from elasticsearch_alps_spark.indexing.postings import (
+        varint_encode, varint_encode_np,
+    )
+    assert varint_encode_np(values) == varint_encode(values)

@@ -841,6 +841,24 @@ class SearchEngine:
             "query_type_stats": stats_by_type,
         }
 
+    def close(self) -> None:
+        """Release session-global resources this engine registered: its
+        postings temp views and any cached/pinned DataFrames (``cache=True``
+        postings/term_stats, the WAND packed-scan cache). A long-running
+        serving session that cycles engines should close retired ones —
+        temp views and pinned cache blocks otherwise accumulate for the
+        application lifetime."""
+        for name in getattr(self, "_views", {}).values():
+            self.spark.catalog.dropTempView(name)
+        self._views = {}
+        if self._cache:
+            for df in list(self._postings.values()) + \
+                    list(self._term_stats.values()):
+                df.unpersist()
+            for df, _ in getattr(self, "_packed_cache", {}).values():
+                df.unpersist()
+        self._packed_cache = {}
+
     def register_views(self, prefix: str = "alps") -> Dict[str, str]:
         """Expose the index as SQL views (``{prefix}_docs``,
         ``{prefix}_postings_<field>``, ``{prefix}_term_stats_<field>``) so

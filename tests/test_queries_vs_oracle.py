@@ -261,3 +261,15 @@ def test_concurrent_queries_one_engine(spark, built_index, oracle_index):
     with ThreadPoolExecutor(max_workers=4) as ex:
         for q, total in ex.map(one, cases * 2):
             assert total == min(expected[q], 10_000), q
+
+
+def test_engine_close_releases_views_and_cache(spark, built_index):
+    eng = SearchEngine(spark, built_index.root, QueryConfig(), cache=True)
+    eng.match_query("def").collect()          # registers view, pins cache
+    view = eng._postings_view("main")
+    assert any(t.name == view for t in spark.catalog.listTables())
+    persisted_before = spark.sparkContext._jsc.getPersistentRDDs().size()
+    assert persisted_before > 0
+    eng.close()
+    assert not any(t.name == view for t in spark.catalog.listTables())
+    assert spark.sparkContext._jsc.getPersistentRDDs().size() < persisted_before

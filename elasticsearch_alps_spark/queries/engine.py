@@ -847,7 +847,10 @@ class SearchEngine:
         postings/term_stats, the WAND packed-scan cache). A long-running
         serving session that cycles engines should close retired ones —
         temp views and pinned cache blocks otherwise accumulate for the
-        application lifetime."""
+        application lifetime. NB Spark's cache manager is PLAN-keyed: another
+        live engine over the same index directory shares the cache entries
+        and falls back to disk reads (correctness unaffected) after this
+        unpersists them."""
         for name in getattr(self, "_views", {}).values():
             self.spark.catalog.dropTempView(name)
         self._views = {}

@@ -11,14 +11,23 @@ explodes to O(|L|·|R|) per key before aggregation). Instead the sort-merge
 shape a 100 TB job wants:
 
     union(tagged left, tagged right) → ONE shuffle keyed by `on`
-    → per-key sort by (ts, tag) → carry-forward window
-      (`last(value, ignorenulls=True)` over rows unbounded-preceding)
+    → per-key sort by (ts, tag, right-row) → carry-forward window
+      (`last(right_row_struct, ignorenulls=True)` over rows unbounded-preceding)
     → keep left rows
 
 One shuffle + one sort, no row multiplication; skewed keys can pre-salt the
 union on a bucketed ts range like any windowed op. Left columns travel as a
 packed struct so the union schema stays 4 columns wide regardless of the
 left table's width.
+
+Row semantics (ADVICE.md r2): the right VALUE COLUMNS also travel as ONE
+packed struct carried by a single `last(ignorenulls=True)` — so every output
+``_asof`` column comes from the SAME latest matching right row, and a NULL
+payload in that row stays NULL (carrying each column independently would
+silently substitute an older non-null value, diverging from true ASOF JOIN).
+Ties among equal-timestamp right rows are broken deterministically by the
+packed struct's own lexicographic order (greatest wins — it sorts last under
+the carry-forward window).
 """
 
 from __future__ import annotations
@@ -45,23 +54,27 @@ def asof_join(left: DataFrame, right: DataFrame, on: str,
     # tag ordering decides <= vs <: right rows sort BEFORE equal-ts left rows
     # when exact matches are allowed (so the window sees them), AFTER when not
     r_tag, l_tag = (0, 1) if allow_exact_matches else (1, 0)
+    r = right.select(
+        F.col(on).alias("_k"), F.col(rts).alias("_ts"),
+        F.lit(r_tag).alias("_tag"),
+        F.lit(None).cast(
+            left.select(F.struct(*left.columns).alias("s")).schema["s"].dataType
+        ).alias("_lrow"),
+        F.struct(*[F.col(v) for v in value_cols]).alias("_rrow"))
     l = left.select(
         F.col(on).alias("_k"), F.col(ts_col).alias("_ts"),
         F.lit(l_tag).alias("_tag"),
         F.struct(*[F.col(c) for c in left.columns]).alias("_lrow"),
-        *[F.lit(None).cast(right.schema[v].dataType).alias(o)
-          for v, o in zip(value_cols, out_vals)])
-    r = right.select(
-        F.col(on).alias("_k"), F.col(rts).alias("_ts"),
-        F.lit(r_tag).alias("_tag"),
-        F.lit(None).cast(l.schema["_lrow"].dataType).alias("_lrow"),
-        *[F.col(v).alias(o) for v, o in zip(value_cols, out_vals)])
+        F.lit(None).cast(r.schema["_rrow"].dataType).alias("_rrow"))
 
-    w = (Window.partitionBy("_k").orderBy("_ts", "_tag")
+    # `_rrow` in the ordering: among equal-(ts, tag) right rows the greatest
+    # packed row sorts LAST and wins the carry — a deterministic tiebreak
+    # (left rows carry a null struct there, which sorts first and is inert)
+    w = (Window.partitionBy("_k").orderBy("_ts", "_tag", "_rrow")
          .rowsBetween(Window.unboundedPreceding, 0))
-    carried = l.unionByName(r)
-    for o in out_vals:
-        carried = carried.withColumn(o, F.last(o, ignorenulls=True).over(w))
+    carried = (l.unionByName(r)
+               .withColumn("_rr", F.last("_rrow", ignorenulls=True).over(w)))
     return (carried.filter(F.col("_tag") == l_tag)
             .select(*[F.col(f"_lrow.{c}").alias(c) for c in left.columns],
-                    *out_vals))
+                    *[F.col(f"_rr.{v}").alias(o)
+                      for v, o in zip(value_cols, out_vals)]))

@@ -279,6 +279,33 @@ class TestAsofJoin:
             want = max(cands)[1] if cands else None
             assert got[p["event_id"]] == want, p["event_id"]
 
+    def test_null_payload_and_same_row_semantics(self, spark):
+        """ADVICE.md r2: a NULL in the latest matching right row must come
+        through as NULL (not an older non-null value), and all _asof columns
+        must come from the SAME right row."""
+        from elasticsearch_alps_spark.extras.asof import asof_join
+        left = spark.createDataFrame([(1, 30, "q")], "k long, ts long, name string")
+        right = spark.createDataFrame(
+            [(1, 10, 100.0, "old"), (1, 20, None, "new")],
+            "k long, ts long, rv double, tag string")
+        row = asof_join(left, right, "k", "ts").collect()[0]
+        # latest right row (ts=20) has rv NULL — true ASOF keeps the NULL
+        assert row["rv_asof"] is None
+        assert row["tag_asof"] == "new"
+
+    def test_equal_ts_right_rows_deterministic(self, spark):
+        """Ties among equal-timestamp right rows resolve to ONE deterministic
+        winner (greatest packed right row), consistently across columns."""
+        from elasticsearch_alps_spark.extras.asof import asof_join
+        left = spark.createDataFrame([(1, 30)], "k long, ts long")
+        right = spark.createDataFrame(
+            [(1, 20, 5.0, "a"), (1, 20, 9.0, "b"), (1, 20, 7.0, "c")],
+            "k long, ts long, rv double, tag string")
+        for _ in range(3):
+            row = asof_join(left, right, "k", "ts").collect()[0]
+            # greatest (rv, tag) struct wins — both columns from that row
+            assert (row["rv_asof"], row["tag_asof"]) == (9.0, "b")
+
     def test_no_join_explosion_in_plan(self, spark):
         """The plan must be union+window, not a range theta-join."""
         from elasticsearch_alps_spark.extras.asof import asof_join

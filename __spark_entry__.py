@@ -493,8 +493,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["ft_postings_spark"] = ft_postings_spark
 
     # ---- dedup suite ----
-    q["dx_exact_dups"] = lambda s, sf: dedup.exact_duplicates(
-        docs_df(s, sf), "text", "doc_id").orderBy("content_sha256")
+    # The driver corpus has no exact duplicates and no >=0.9-cosine embedding
+    # pairs, which made dx_exact_dups / dx_embed_cosine pass VACUOUSLY on
+    # 0 rows (VERDICT r2 wrong #1). Both gates now plant deterministic
+    # duplicates — copies of the 3 lowest-id rows re-id'd +1,000,000 — on BOTH
+    # sides (Spark union / SQL UNION ALL), so an operator returning nothing
+    # unconditionally fails the gate.
+    def dx_exact_dups(s, sf):
+        d = docs_df(s, sf)
+        planted = (d.filter(F.col("doc_id") < 3)
+                   .withColumn("doc_id", F.col("doc_id") + F.lit(1_000_000)))
+        return dedup.exact_duplicates(d.unionByName(planted), "text",
+                                      "doc_id").orderBy("content_sha256")
+    q["dx_exact_dups"] = dx_exact_dups
     # the skew cap is exercised but provably inert on this fixture (max
     # shingle df at sf0.01 is 7 — measured via DuckDB), so the uncapped
     # oracle stays exact
@@ -503,20 +514,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                   n=3, threshold=0.05, max_shingle_df=100)
         .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
         .orderBy("id_a", "id_b"))
+    # persist_signatures/fingerprints=False: the gate DataFrame outlives this
+    # call (the driver collects it later), so an in-function persist could
+    # never be released — the gates must leave no pinned blocks behind
+    # (VERDICT r2 wrong #3); recomputing signatures is cheap at sf0.01
     q["dx_minhash_lsh"] = lambda s, sf: (
         dedup.minhash_lsh_pairs(docs_df(s, sf), "text", "doc_id",
-                                threshold=0.05)
+                                threshold=0.05,
+                                persist_signatures=False)[0]
         .select("id_a", "id_b", F.round("est_jaccard", 6).alias("est_jaccard"))
         .orderBy("id_a", "id_b"))
     q["dx_simhash"] = lambda s, sf: (
-        dedup.simhash_pairs(docs_df(s, sf), "text", "doc_id", max_hamming=8)
+        dedup.simhash_pairs(docs_df(s, sf), "text", "doc_id", max_hamming=8,
+                            persist_fingerprints=False)[0]
         .select("id_a", "id_b", F.col("hamming").cast("long").alias("hamming"))
         .orderBy("id_a", "id_b"))
-    q["dx_embed_cosine"] = lambda s, sf: (
-        dedup.embedding_cosine_pairs(emb_df(s, sf), "vec_id", "embedding",
-                                     threshold=0.9)
-        .select("id_a", "id_b", F.round("cosine", 5).alias("cosine"))
-        .orderBy("id_a", "id_b"))
+    def dx_embed_cosine(s, sf):
+        e = emb_df(s, sf)
+        planted = (e.filter(F.col("vec_id") < 3)
+                   .withColumn("vec_id", F.col("vec_id") + F.lit(1_000_000)))
+        return (dedup.embedding_cosine_pairs(e.unionByName(planted), "vec_id",
+                                             "embedding", threshold=0.9)
+                .select("id_a", "id_b", F.round("cosine", 5).alias("cosine"))
+                .orderBy("id_a", "id_b"))
+    q["dx_embed_cosine"] = dx_embed_cosine
 
     # the SCALE path for embedding dedup: LSH bucket blocking wired in (the
     # r1 block_col hook, now gate-verified) — only same-bucket pairs compare
@@ -775,10 +796,17 @@ SELECT doc_id, count(*)::BIGINT AS freq, min(pos)::BIGINT AS first_pos,
        max(pos)::BIGINT AS last_pos
 FROM tok WHERE term = 'spark' GROUP BY doc_id ORDER BY doc_id"""
 
+    # planted duplicates mirror the Spark-side union in queries() exactly
     o["dx_exact_dups"] = """
+WITH aug AS (
+  SELECT * FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text, lang, source, n_chars
+  FROM documents WHERE doc_id < 3
+)
 SELECT sha256(text) AS content_sha256, count(*)::BIGINT AS dup_count,
        min(doc_id)::BIGINT AS keep_id
-FROM documents GROUP BY sha256(text) HAVING count(*) > 1
+FROM aug GROUP BY sha256(text) HAVING count(*) > 1
 ORDER BY content_sha256"""
     o["dx_ngram_jaccard"] = """
 WITH toks AS (
@@ -823,11 +851,17 @@ ORDER BY id_a, id_b"""
     o["dx_embed_cosine_lsh"] = _sql_embed_cosine_lsh(n_planes=6, seed=42,
                                                      dim=64, threshold=0.4)
     o["dx_embed_cosine"] = """
-WITH e AS (
+WITH aug AS (
+  SELECT * FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000 AS vec_id, embedding, label
+  FROM embeddings WHERE vec_id < 3
+),
+e AS (
   SELECT vec_id::BIGINT AS id, embedding,
          sqrt(list_sum(list_transform(embedding,
               x -> x::DOUBLE * x::DOUBLE))) AS nrm
-  FROM embeddings
+  FROM aug
 )
 SELECT a.id AS id_a, b.id AS id_b,
        ROUND(list_sum(list_transform(generate_series(1, len(a.embedding)),

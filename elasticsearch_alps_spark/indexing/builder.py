@@ -114,8 +114,10 @@ def normalize_documents(df: DataFrame, text_col: str, cfg: IndexConfig,
                         shards: Optional[int] = None):
     """P1 empty-text filter (index.py:395-396), P4 >100k-char truncation
     (index.py:421-422), sha256 invariant column, dense docID assignment.
-    Returns ``(df, release)`` — ``release`` unpins the docID-assignment cache
-    once the caller's write has materialized (None when doc_id_col given)."""
+    Returns ``(df, release, n_docs)`` — ``release`` unpins the
+    docID-assignment cache once the caller's reads have materialized (None
+    when doc_id_col given); ``n_docs`` is the exact post-filter doc count
+    when IDs were assigned (known free from the offsets job), else None."""
     c = F.col(text_col)
     # "contains a non-whitespace char" — matches the reference's pandas
     # `str.strip() != ''` (Spark's trim() only strips spaces, not \n/\t)
@@ -128,12 +130,12 @@ def normalize_documents(df: DataFrame, text_col: str, cfg: IndexConfig,
                F.concat(F.substring(c, 1, limit), F.lit("... [TRUNCATED]")))
          .otherwise(c))
     out = out.drop(text_col).withColumnRenamed("_content", text_col)
-    release = None
+    release, n_docs = None, None
     if doc_id_col:
         out = out.withColumn("doc_id", F.col(doc_id_col).cast("long"))
     else:
-        out, release = assign_dense_doc_ids(out, list(id_cols), shards)
-    return out, release
+        out, release, n_docs = assign_dense_doc_ids(out, list(id_cols), shards)
+    return out, release, n_docs
 
 
 def _lineage_path(paths: IndexPaths, stage: str) -> str:
@@ -216,8 +218,13 @@ def _build_field(spark: SparkSession, n_docs: int, src: DataFrame,
     written = spark.read.parquet(paths.postings(field))
 
     def _write_term_stats() -> None:
+        # term_len is stored (not computed per query) so the fuzzy length-band
+        # filter reaches the parquet scan as a pushed predicate (r3, VERDICT
+        # r2 next #7) — row-group/page min-max stats then skip chunks whose
+        # term lengths fall outside the band
         (written.groupBy("term")
                 .agg(F.count("*").alias("df"), F.sum("freq").alias("cf"))
+                .withColumn("term_len", F.length("term"))
                 .repartitionByRange(max(1, shards // 4), "term")
                 .sortWithinPartitions("term")
                 .write.mode("overwrite").option("compression", "zstd")
@@ -333,26 +340,44 @@ def build_index(spark: SparkSession, docs_df: DataFrame, out_dir: str,
         sort_keys=True)
 
     t0 = time.time()
+    # r3 serial-section rework (VERDICT r2 next #10): on a fresh build the
+    # docs-store write no longer gates the field builds. Both consume the
+    # SAME docID-assignment cache (assign_dense_doc_ids persisted `part`), so
+    # the docs parquet write runs on a background thread WHILE the (dominant)
+    # tokenize pass fans out; n_docs comes free from the ids offsets job
+    # instead of a separate count. The resume path still reads the parquet.
+    release, norm = None, None
+    docs_write_fut = docs_pool = None
+    n_docs: Optional[int] = None
     if not (resume and _stage_done(paths, "docs", config_key)):
-        norm, release = normalize_documents(docs_df, text_col, cfg, id_cols,
-                                            doc_id_col, shards)
-        # dense-ID assignment leaves rows range-partitioned and ordered by the
-        # key == docID order, so each output file already covers a contiguous
-        # docID range (min/max pruning works) — no second shuffle needed
-        norm.write.mode("overwrite").option("compression", "zstd").parquet(paths.docs)
-        if release is not None:
-            release()  # unpin the docID-assignment cache (ADVICE.md r1)
-        _write_lineage(paths, "docs", {"config_key": config_key,
-                                       "elapsed_sec": round(time.time() - t0, 3)})
+        norm, release, n_docs = normalize_documents(
+            docs_df, text_col, cfg, id_cols, doc_id_col, shards)
+
+        def _write_docs() -> None:
+            # dense-ID assignment leaves rows range-partitioned and ordered
+            # by the key == docID order, so each output file already covers a
+            # contiguous docID range (min/max pruning works) — no second
+            # shuffle needed
+            norm.write.mode("overwrite").option("compression", "zstd") \
+                .parquet(paths.docs)
+            _write_lineage(paths, "docs", {
+                "config_key": config_key,
+                "elapsed_sec": round(time.time() - t0, 3)})
+
+        docs_pool = ThreadPoolExecutor(max_workers=1)
+        docs_write_fut = docs_pool.submit(_write_docs)
     n_shards = shards or cfg.number_of_shards or spark.sparkContext.defaultParallelism
-    # metadata-only count, BEFORE the repartition below (counting after would
-    # trigger a full shuffle)
-    n_docs = spark.read.parquet(paths.docs).count()
-    # The docs store lands as n_shards smallish files which Spark's split
-    # packing would coalesce into a handful of input partitions — the
-    # analyzer UDF (the dominant cost) must fan out to every core, so
-    # re-spread explicitly.
-    docs = spark.read.parquet(paths.docs).repartition(n_shards)
+    if n_docs is None:
+        # doc_id_col path (count over the live plan) or resume path
+        # (metadata-backed parquet count)
+        n_docs = (norm if norm is not None
+                  else spark.read.parquet(paths.docs)).count()
+    # The analyzer UDF (the dominant cost) must fan out to every core: the
+    # live normalized plan is range-partitioned by key (and the written docs
+    # store lands as smallish files Spark would coalesce), so re-spread
+    # explicitly.
+    docs = (norm if norm is not None
+            else spark.read.parquet(paths.docs)).repartition(n_shards)
     field_stats = {}
     same_analyzer = (cfg.exact_analyzer is not None
                      and cfg.exact_analyzer == cfg.analyzer)
@@ -422,6 +447,11 @@ def build_index(spark: SparkSession, docs_df: DataFrame, out_dir: str,
                 build_packed=False)
     if cached is not None:
         cached.unpersist()
+    if docs_write_fut is not None:
+        docs_write_fut.result()  # surface write errors before declaring done
+        docs_pool.shutdown()
+    if release is not None:
+        release()  # unpin the docID-assignment cache (ADVICE.md r1)
 
     stats = {
         "fields": field_stats,

@@ -23,9 +23,12 @@ Determinism: the key is unique, so the within-partition sort order is stable;
 shuffle files outlive the job, so a recomputed cached block re-reads the same
 shuffle partition and reproduces the same ids.
 
-Returns ``(df, release)`` — call ``release()`` once the downstream write has
-materialized to unpin the cached blocks (ADVICE.md r1: a leaked persist stays
-pinned for the application lifetime across multi-segment builds).
+Returns ``(df, release, n_rows)`` — call ``release()`` once the downstream
+write has materialized to unpin the cached blocks (ADVICE.md r1: a leaked
+persist stays pinned for the application lifetime across multi-segment
+builds). ``n_rows`` is the exact total row count, already known from the
+per-partition counts — callers need no separate counting job (r3 serial-
+section work, VERDICT r2 next #10).
 """
 
 from __future__ import annotations
@@ -40,7 +43,7 @@ _LOCAL_MASK = (1 << 33) - 1  # monotonically_increasing_id: low 33 bits = row
 
 def assign_dense_doc_ids(df: DataFrame, order_cols: List[str],
                          num_partitions: Optional[int] = None,
-                         ) -> Tuple[DataFrame, Callable[[], None]]:
+                         ) -> Tuple[DataFrame, Callable[[], None], int]:
     """Add ``doc_id`` = dense global rank by ``order_cols`` (must be a unique
     key for determinism across runs/partitionings)."""
     n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
@@ -63,4 +66,4 @@ def assign_dense_doc_ids(df: DataFrame, order_cols: List[str],
                            (F.col("_mid").bitwiseAND(F.lit(_LOCAL_MASK))
                             + F.col("_off")).cast("long"))
                .drop("_pid", "_off", "_mid"))
-    return out, lambda: part.unpersist()
+    return out, lambda: part.unpersist(), acc

@@ -111,6 +111,7 @@ def merge_indexes(spark: SparkSession, index_dirs: List[str], out_dir: str,
         written = spark.read.parquet(out.postings(field))
         (written.groupBy("term")
                 .agg(F.count("*").alias("df"), F.sum("freq").alias("cf"))
+                .withColumn("term_len", F.length("term"))
                 .repartitionByRange(max(1, n_shards // 4), "term")
                 .sortWithinPartitions("term")
                 .write.mode("overwrite").option("compression", "zstd").parquet(out.term_stats(field)))

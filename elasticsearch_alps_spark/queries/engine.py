@@ -587,15 +587,25 @@ class SearchEngine:
         all_hits, obs = self._observe_total(all_hits)
         return all_hits.orderBy(F.asc("doc_id")).limit(size)
 
-    def _fuzzy_expand(self, field: str, word: str) -> List[Tuple[str, float]]:
-        """Term-dictionary scan with JVM-side levenshtein; top max_expansions
-        by (boost desc, term asc) like Lucene's TopTermsRewrite queue.
-        boost = 1 − ed/min(len(term), len(word))."""
+    def _term_len_col(self, field: str):
+        """Stored term_len when the index has it (r3 — a stored column makes
+        the fuzzy length band a PUSHED parquet predicate with row-group
+        min/max skipping), else computed length (pre-r3 indexes)."""
+        ts = self._term_stats[field]
+        return F.col("term_len") if "term_len" in ts.columns \
+            else F.length("term")
+
+    def _fuzzy_expand_df(self, field: str, word: str) -> DataFrame:
+        """Expansion plan for one word: term-dictionary scan with JVM-side
+        levenshtein; top max_expansions by (boost desc, term asc) like
+        Lucene's TopTermsRewrite queue. boost = 1 − ed/min(len(term),
+        len(word))."""
         max_d = fuzzy_auto_distance(word)
         ts = self._term_stats[field]
-        cand = (ts.filter(
-                    (F.length("term") >= len(word) - max_d)
-                    & (F.length("term") <= len(word) + max_d))
+        tlen = self._term_len_col(field)
+        return (ts.filter(
+                    (tlen >= len(word) - max_d)
+                    & (tlen <= len(word) + max_d))
                   .withColumn("ed", F.levenshtein(F.col("term"), F.lit(word)))
                   .filter(F.col("ed") <= max_d)
                   .withColumn("boost", F.when(F.col("ed") == 0, F.lit(1.0)).otherwise(
@@ -603,30 +613,42 @@ class SearchEngine:
                       / F.least(F.length("term"), F.lit(len(word))).cast("double")))
                   .orderBy(F.desc("boost"), F.asc("term"))
                   .limit(self.qcfg.fuzzy_max_expansions)
-                  .select("term", "boost", "df").collect())
+                  .select("term", "boost", "df"))
+
+    def _fuzzy_expand(self, field: str, word: str) -> List[Tuple[str, float]]:
+        cand = self._fuzzy_expand_df(field, word).collect()
         return [(r["term"], r["boost"], r["df"]) for r in cand]
 
-    def _fuzzy_expand_multi(self, field: str, words: List[str]) -> Dict[int, list]:
-        """Expansions for several words in ONE term-dictionary scan (join with
-        a broadcast words frame + per-word rank window) instead of a Spark
-        job per word."""
+    def _fuzzy_expand_multi_df(self, field: str, words: List[str]) -> DataFrame:
+        """Expansion plan for several words in ONE term-dictionary scan (join
+        with a broadcast words frame + per-word rank window) instead of a
+        Spark job per word."""
         from pyspark.sql import Window
         wrows = [(i, w, fuzzy_auto_distance(w), len(w)) for i, w in enumerate(words)]
         wdf = self.spark.createDataFrame(
             wrows, "widx int, word string, maxd int, wlen int")
         ts = self._term_stats[field]
-        cand = (ts.join(F.broadcast(wdf),
-                        (F.length("term") >= F.col("wlen") - F.col("maxd"))
-                        & (F.length("term") <= F.col("wlen") + F.col("maxd")))
+        tlen = self._term_len_col(field)
+        # literal envelope over ALL words' bands — join conditions can't push
+        # into the scan, but this pre-filter can (pushed parquet predicate)
+        lo = min(len(w) - d for _, w, d, _ in wrows)
+        hi = max(len(w) + d for _, w, d, _ in wrows)
+        cand = (ts.filter((tlen >= lo) & (tlen <= hi))
+                .join(F.broadcast(wdf),
+                      (tlen >= F.col("wlen") - F.col("maxd"))
+                      & (tlen <= F.col("wlen") + F.col("maxd")))
                 .withColumn("ed", F.levenshtein(F.col("term"), F.col("word")))
                 .filter(F.col("ed") <= F.col("maxd"))
                 .withColumn("boost", F.when(F.col("ed") == 0, F.lit(1.0)).otherwise(
                     F.lit(1.0) - F.col("ed").cast("double")
                     / F.least(F.length("term"), F.col("wlen")).cast("double"))))
         w = Window.partitionBy("widx").orderBy(F.desc("boost"), F.asc("term"))
-        top = (cand.withColumn("rn", F.row_number().over(w))
-                   .filter(F.col("rn") <= self.qcfg.fuzzy_max_expansions)
-                   .select("widx", "term", "boost", "df").collect())
+        return (cand.withColumn("rn", F.row_number().over(w))
+                    .filter(F.col("rn") <= self.qcfg.fuzzy_max_expansions)
+                    .select("widx", "term", "boost", "df"))
+
+    def _fuzzy_expand_multi(self, field: str, words: List[str]) -> Dict[int, list]:
+        top = self._fuzzy_expand_multi_df(field, words).collect()
         out: Dict[int, list] = {i: [] for i in range(len(words))}
         for r in top:
             out[r["widx"]].append((r["term"], r["boost"], r["df"]))

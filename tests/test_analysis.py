@@ -175,6 +175,20 @@ class TestSmallFloat:
         assert quantize_length(100) == 96   # 100-24=76 → top4(76)=72 → 24+72
 
 
+class TestHighlightJoinedTokens:
+    def test_dotted_and_numeric_terms_highlight(self):
+        """r3: the highlight surface scan uses the UAX#29 token regex, so
+        joined index terms (example.com, 3.14, it's) can be wrapped."""
+        from elasticsearch_alps_spark.queries.highlight import highlight
+        text = "visit example.com for 3.14 of it's glory"
+        assert highlight(text, ["example.com"], EXACT_MATCH_ANALYZER) == \
+            ["visit <MATCH>example.com</MATCH> for 3.14 of it's glory"]
+        assert "<MATCH>3.14</MATCH>" in highlight(
+            text, ["3.14"], EXACT_MATCH_ANALYZER)[0]
+        assert "<MATCH>it's</MATCH>" in highlight(
+            text, ["it's"], EXACT_MATCH_ANALYZER)[0]
+
+
 class TestChain:
     def test_web_content_analyzer(self):
         # html_strip + standard + lowercase + asciifolding + stop + porter

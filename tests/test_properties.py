@@ -140,3 +140,47 @@ def test_varint_encode_np_equals_pure(values):
         varint_encode, varint_encode_np,
     )
     assert varint_encode_np(values) == varint_encode(values)
+
+
+# ---- UAX#29 tokenizer invariants (r3) ----
+
+_token_text_st = st.text(
+    alphabet=st.sampled_from(list(string.ascii_letters + string.digits)
+                             + list(" .,':;_-@()[]\n\t") + ["’", "é", "速", "ス"]),
+    max_size=120)
+
+
+@given(_token_text_st)
+@settings(max_examples=400, deadline=None)
+def test_tokenizer_separator_shape(text):
+    """Every emitted token: no whitespace; any internal ' ’ . : , ; appears
+    SINGLY and sandwiched between word chars per the UAX#29 joining rules
+    (letters around MidLetter/MidNumLet, digits around MidNum)."""
+    import re
+    from elasticsearch_alps_spark.analysis.analyzers import tokenize_standard
+    seps = set("'’.:,;·")
+    for tok in tokenize_standard(text):
+        assert tok and not any(c.isspace() for c in tok)
+        assert tok[0] not in seps and tok[-1] not in seps
+        for i, ch in enumerate(tok):
+            if ch in seps:
+                prev, nxt = tok[i - 1], tok[i + 1]
+                assert prev not in seps and nxt not in seps  # never doubled
+                if ch in ",;":
+                    assert prev.isdigit() and nxt.isdigit()
+                elif ch in ":·'’":
+                    assert not prev.isdigit() and not nxt.isdigit()
+                # '.' joins letter.letter or digit.digit — both legal
+
+
+@given(_token_text_st)
+@settings(max_examples=400, deadline=None)
+def test_tokenizer_covers_all_word_chars(text):
+    """Concatenated tokens contain exactly the \\w characters of the input
+    (no word character is ever lost or invented by the joining rules)."""
+    import re
+    from elasticsearch_alps_spark.analysis.analyzers import tokenize_standard
+    want = "".join(re.findall(r"\w", text, re.UNICODE))
+    got = "".join(re.sub(r"[^\w]", "", t, flags=re.UNICODE)
+                  for t in tokenize_standard(text))
+    assert got == want

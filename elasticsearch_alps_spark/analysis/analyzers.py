@@ -37,8 +37,13 @@ from elasticsearch_alps_spark.config import AnalyzerConfig
 # separator between letters (WB6/7: ' ’ . : ·) or a SINGLE MidNum/MidNumLet
 # separator between digits (WB11/12: . , ;). Double separators never join
 # (x..y and std::vector split — only lone separators are word-internal).
+# Han/Hiragana/Katakana have Word_Break ≠ ALetter, so MidLetter joining must
+# NOT apply next to them (hypothesis-found: "A'速" is two tokens) — hence the
+# extra negative lookarounds on the letter-side rule.
+_NOJOIN_CJK = "぀-ヿ㐀-䶿一-鿿豈-﫿"
 _TOKEN_RE = re.compile(
-    r"\w+(?:(?:(?<=[^\W\d_])['’.:·](?=[^\W\d_])|(?<=\d)[.,;](?=\d))\w+)*",
+    r"\w+(?:(?:(?<=[^\W\d_])(?<![" + _NOJOIN_CJK + r"])['’.:·]"
+    r"(?=[^\W\d_])(?![" + _NOJOIN_CJK + r"])|(?<=\d)[.,;](?=\d))\w+)*",
     re.UNICODE)
 # Han + Hiragana have no UAX#29 joining rules → unigram tokens (what ES's
 # `standard` tokenizer emits); Katakana runs stay whole (WB13) and are

@@ -14,9 +14,12 @@ Known, documented approximations vs Lucene:
   between LETTERS joins (``it's``, ``example.com``), a single MidNum/
   MidNumLet ``.``/``,`` between DIGITS joins (``3.14``, ``1,000``), and
   Han/Hiragana characters are emitted as unigrams while Katakana runs stay
-  whole (WB13). Still approximate at the long tail (word-joiner controls,
-  combining marks across scripts, regional indicators) — pinned in
-  tests/test_analysis.py::TestTokenizerDivergences.
+  whole (WB13), and word-boundary-transparent Format characters (WB4: word
+  joiner, soft hyphen, ZWNJ — general category Cf minus the *breaking*
+  U+200B) are stripped mid-word (r4). Still approximate at the long tail
+  (combining marks across scripts, regional indicators) — the divergence
+  inventory in tests/test_analysis.py::TestTokenizerDivergences is current
+  (empty as of r4).
 - ``html_strip`` is a regex approximation of Lucene's HTMLStripCharFilter
   (tags removed, script/style/comment content dropped, entities decoded).
 """
@@ -24,6 +27,7 @@ Known, documented approximations vs Lucene:
 from __future__ import annotations
 
 import html as _html
+import os
 import re
 import unicodedata
 from typing import List, Tuple
@@ -40,19 +44,44 @@ from elasticsearch_alps_spark.config import AnalyzerConfig
 # Han/Hiragana/Katakana have Word_Break ≠ ALetter, so MidLetter joining must
 # NOT apply next to them (hypothesis-found: "A'速" is two tokens) — hence the
 # extra negative lookarounds on the letter-side rule.
-_NOJOIN_CJK = "぀-ヿ㐀-䶿一-鿿豈-﫿"
+_NOJOIN_CJK = "぀-ヿ㐀-䶿一-鿿豈-﫿" \
+    "\U00020000-\U0003ffff"
 _TOKEN_RE = re.compile(
     r"\w+(?:(?:(?<=[^\W\d_])(?<![" + _NOJOIN_CJK + r"])['’.:·]"
     r"(?=[^\W\d_])(?![" + _NOJOIN_CJK + r"])|(?<=\d)[.,;](?=\d))\w+)*",
     re.UNICODE)
 # Han + Hiragana have no UAX#29 joining rules → unigram tokens (what ES's
 # `standard` tokenizer emits); Katakana runs stay whole (WB13) and are
-# matched by \w, so they are simply NOT in this class.
+# matched by \w, so they are simply NOT in this class. Supplementary Han
+# (Extensions B–H + Compatibility Supplement, U+20000–U+3FFFF) included r4
+# (ADVICE r3) — unassigned codepoints in that span don't match \w, so the
+# over-wide range is harmless.
 _CJK_UNIGRAM_RE = re.compile(
     "[\u3040-\u309f"   # Hiragana
     "\u3400-\u4dbf"    # CJK Unified Ideographs Extension A
     "\u4e00-\u9fff"    # CJK Unified Ideographs
-    "\uf900-\ufaff]")  # CJK Compatibility Ideographs
+    "\uf900-\ufaff"    # CJK Compatibility Ideographs
+    "\U00020000-\U0003ffff]")  # Extensions B–H + Compat Supplement (r4)
+# UAX#29 WB4: Format (and Extend) characters are ignored for word-boundary
+# decisions, so a word joiner / soft hyphen / ZWNJ inside a word must not
+# split it — Lucene emits "ab" for "a\u2060b"; we strip them before
+# tokenizing (r4, closes the last pinned Lucene divergence). The class is
+# general-category Cf *minus* U+200B ZERO WIDTH SPACE, whose UAX#29
+# Word_Break class is Other (it BREAKS: ["a","b"] for "a\u200bb") — a
+# naive category-Cf strip would wrongly join across it. Combining marks
+# (WB-class Extend, category Mn/Mc) are NOT stripped: they stay inside the
+# token, as in Lucene, and asciifolding folds them later.
+_FORMAT_STRIP_RE = re.compile(
+    "[\u00ad"                    # soft hyphen
+    "\u0600-\u0605\u061c\u06dd\u070f\u0890\u0891\u08e2"  # Arabic signs
+    "\u180e"                     # Mongolian vowel separator
+    "\u200c-\u200f"             # ZWNJ ZWJ LRM RLM (NOT U+200B: it breaks)
+    "\u202a-\u202e"             # bidi embedding controls
+    "\u2060-\u2064\u2066-\u206f"  # word joiner, invisible ops, isolates
+    "\ufeff\ufff9-\ufffb"      # ZWNBSP/BOM, interlinear annotation
+    "\U000110bd\U000110cd\U00013430-\U0001343f"   # Kaithi/Egyptian fmt
+    "\U0001bca0-\U0001bca3\U0001d173-\U0001d17a"  # shorthand/music fmt
+    "\U000e0001\U000e0020-\U000e007f]")            # tag characters
 _SIMPLE_TOKEN_RE = re.compile(r"[a-z0-9_]+")
 _SCRIPT_RE = re.compile(r"<(script|style)\b.*?</\1\s*>", re.IGNORECASE | re.DOTALL)
 _COMMENT_RE = re.compile(r"<!--.*?-->", re.DOTALL)
@@ -123,9 +152,15 @@ def tokenize_standard(text: str, max_token_length: int = 255) -> List[str]:
     """UAX#29 word segmentation as Lucene's standard tokenizer applies it
     (``index_config_1.json:17``; see module docstring for the covered rules).
     Over-long tokens split at max_token_length."""
-    # ASCII fast path: the CJK check costs one isascii() (O(n) in C) for the
-    # dominant source-code case
-    has_cjk = not text.isascii() and _CJK_UNIGRAM_RE.search(text)
+    # ASCII fast path: one isascii() (O(n) in C) covers the dominant
+    # source-code case — no Cf char and no CJK char is ASCII
+    if text.isascii():
+        has_cjk = False
+    else:
+        # WB4: Format chars are word-boundary-transparent → strip them so
+        # "a⁠b" tokenizes as "ab" like Lucene (see _FORMAT_STRIP_RE)
+        text = _FORMAT_STRIP_RE.sub("", text)
+        has_cjk = _CJK_UNIGRAM_RE.search(text)
     toks: List[str] = []
     for m in _TOKEN_RE.finditer(text):
         pieces = _split_cjk(m.group()) if has_cjk else (m.group(),)
@@ -194,6 +229,11 @@ def analyze(text: str, cfg: AnalyzerConfig) -> List[str]:
 # benign recompute).
 _TOKEN_FILTER_MEMO: dict = {}
 _TOKEN_FILTER_MEMO_MAX = 1 << 18
+# A/B switch for benchmarking the memo's end-to-end effect
+# (tools/analyzer_memo_bench.py, r4): ALPS_TOKEN_MEMO=0 disables. Read at
+# import time in each UDF worker process (local-mode workers inherit the
+# driver environment).
+_TOKEN_FILTER_MEMO_ENABLED = os.environ.get("ALPS_TOKEN_MEMO", "1") != "0"
 
 
 def _filter_token(tok: str, cfg: AnalyzerConfig) -> Tuple[str, ...]:
@@ -223,6 +263,12 @@ def _filter_token(tok: str, cfg: AnalyzerConfig) -> Tuple[str, ...]:
 def _postprocess(raw: List[str], cfg: AnalyzerConfig) -> List[Tuple[str, int]]:
     """Token-filter chain over already-tokenized input (shared-preprocessing
     path of analyze_positions_multi)."""
+    if not _TOKEN_FILTER_MEMO_ENABLED:
+        out0: List[Tuple[str, int]] = []
+        for pos0, tok in enumerate(raw):
+            for t in _filter_token(tok, cfg):
+                out0.append((t, pos0))
+        return out0
     memo = _TOKEN_FILTER_MEMO.get(cfg)
     if memo is None:
         memo = _TOKEN_FILTER_MEMO[cfg] = {}

@@ -94,9 +94,16 @@ class TestTokenizerDivergences:
         ("スパーク テスト", ["スパーク", "テスト"], ["スパーク", "テスト"]),
         ("snake_case", ["snake_case"], ["snake_case"]),
         ("well-known", ["well", "known"], ["well", "known"]),
-        # REMAINING divergence: WB4 says Format chars (word joiner U+2060)
-        # are ignored mid-word — Lucene emits "ab"; we split at them
-        ("a⁠b", ["a", "b"], ["ab"]),
+        # WB4 (r4): Format chars are word-boundary-transparent — word joiner,
+        # soft hyphen and ZWNJ inside a word are stripped, so the token joins
+        ("a⁠b", ["ab"], ["ab"]),
+        ("co­operate", ["cooperate"], ["cooperate"]),
+        ("a‌b", ["ab"], ["ab"]),
+        # ...but U+200B ZERO WIDTH SPACE has Word_Break=Other: it BREAKS
+        ("a​b", ["a", "b"], ["a", "b"]),
+        # Supplementary Han (Extension B, ADVICE r3): unigrams like BMP Han
+        ("𠀀𠀁", ["𠀀", "𠀁"],
+         ["𠀀", "𠀁"]),
     ]
 
     @pytest.mark.parametrize("text,ours,lucene", CASES,
@@ -109,7 +116,7 @@ class TestTokenizerDivergences:
         further tokenizer upgrade must update this inventory (and the
         analyzers.py module docstring) in the same change."""
         diverging = [c for c in self.CASES if c[1] != c[2]]
-        assert [c[0] for c in diverging] == ["a⁠b"]
+        assert [c[0] for c in diverging] == []  # empty as of r4 (WB4 closed)
 
 
 class TestPorter:
@@ -187,6 +194,77 @@ class TestHighlightJoinedTokens:
             text, ["3.14"], EXACT_MATCH_ANALYZER)[0]
         assert "<MATCH>it's</MATCH>" in highlight(
             text, ["it's"], EXACT_MATCH_ANALYZER)[0]
+
+
+class TestHighlightGoldens:
+    """Hand-computed fragment goldens (VERDICT r3 next #6): pins the exact
+    fragment windowing, wrapping, and span-selection semantics of
+    queries/highlight.py (the reference consumes ES highlights with
+    fragment_size/number_of_fragments, ``scripts/search/search.py:158-169``).
+    Every expected string was computed by hand from the documented algorithm:
+    window = match ± (fragment_size - match_len)//2, clamped to the text;
+    every span fully inside the window is wrapped; overlapping windows are
+    coalesced via used_until."""
+
+    def _hl(self, text, terms, cfg=EXACT_MATCH_ANALYZER, **kw):
+        from elasticsearch_alps_spark.queries.highlight import highlight
+        return highlight(text, terms, cfg, **kw)
+
+    def test_single_term_short_text(self):
+        assert self._hl("the quick brown fox", ["quick"]) == \
+            ["the <MATCH>quick</MATCH> brown fox"]
+
+    def test_multi_term_one_fragment(self):
+        assert self._hl("quick brown fox", ["quick", "fox"]) == \
+            ["<MATCH>quick</MATCH> brown <MATCH>fox</MATCH>"]
+
+    def test_case_folding_and_span_coalescing(self):
+        # both occurrences land in the first window → ONE fragment wraps
+        # both; the second span is then inside used_until and opens no new
+        # fragment
+        assert self._hl("Spark and spark again", ["spark"]) == \
+            ["<MATCH>Spark</MATCH> and <MATCH>spark</MATCH> again"]
+
+    def test_stemmed_surface_form_wraps(self):
+        # query side analyzed "running"→"run"; surface token "running" must
+        # still be found via its own analyzed form
+        assert self._hl("running fast", ["run"], WEB_CONTENT_ANALYZER) == \
+            ["<MATCH>running</MATCH> fast"]
+
+    def test_asciifolded_surface_form_wraps(self):
+        assert self._hl("café costs", ["cafe"]) == \
+            ["<MATCH>café</MATCH> costs"]
+
+    def test_joined_token_whole_span(self):
+        assert self._hl("see example.com for docs", ["example.com"]) == \
+            ["see <MATCH>example.com</MATCH> for docs"]
+
+    def test_cjk_unigram_piece_not_whole_run(self):
+        # ADVICE r3 (closed r4): index/query side emits Han unigrams, so the
+        # surface scan must wrap ONLY the matching character of the run
+        assert self._hl("速度测试", ["度"]) == ["速<MATCH>度</MATCH>测试"]
+
+    def test_window_arithmetic_exact(self):
+        # len("spark")=5, fragment_size=11 → half=(11-5)//2=3 → window is
+        # exactly [start-3, end+3) = "aa spark bb"
+        text = "aaaaaaaaaa spark bbbbbbbbbb"
+        assert self._hl(text, ["spark"], fragment_size=11) == \
+            ["aa <MATCH>spark</MATCH> bb"]
+
+    def test_number_of_fragments_cap(self):
+        # three separated matches, cap 2 → first two windows only; with
+        # fragment_size=9, half=2 → each window is "…x <MATCH>spark</MATCH> y…"
+        text = "spark " + "x" * 30 + " spark " + "y" * 30 + " spark"
+        assert self._hl(text, ["spark"], fragment_size=9,
+                        number_of_fragments=2) == \
+            ["<MATCH>spark</MATCH> x", "x <MATCH>spark</MATCH> y"]
+
+    def test_stopword_not_wrapped(self):
+        assert self._hl("the fox", ["fox"], WEB_CONTENT_ANALYZER) == \
+            ["the <MATCH>fox</MATCH>"]
+
+    def test_no_match_empty(self):
+        assert self._hl("nothing here", ["absent"]) == []
 
 
 class TestChain:

@@ -146,8 +146,30 @@ def test_varint_encode_np_equals_pure(values):
 
 _token_text_st = st.text(
     alphabet=st.sampled_from(list(string.ascii_letters + string.digits)
-                             + list(" .,':;_-@()[]\n\t") + ["’", "é", "速", "ス"]),
+                             + list(" .,':;_-@()[]\n\t") + ["’", "é", "速", "ス",
+                             # WB4 Format chars (joiner/SHY/ZWNJ) + breaking
+                             # ZWSP + an Extension-B Han char (r4)
+                             "⁠", "­", "‌", "​",
+                             "\U00020000"]),
     max_size=120)
+
+# word-boundary-transparent Format chars (WB4) — the breaking U+200B is NOT
+# one of these
+_format_chars_st = st.sampled_from(["⁠", "­", "‌", "‍",
+                                    "﻿", "‪"])
+
+
+@given(_token_text_st, _format_chars_st,
+       st.integers(min_value=0, max_value=120))
+@settings(max_examples=300, deadline=None)
+def test_tokenizer_format_chars_are_transparent(text, cf, pos):
+    """UAX#29 WB4: inserting a Format character anywhere never changes the
+    token stream (word joiner mid-word must not split 'ab' — the last pinned
+    Lucene divergence, closed r4)."""
+    from elasticsearch_alps_spark.analysis.analyzers import tokenize_standard
+    pos = min(pos, len(text))
+    assert tokenize_standard(text[:pos] + cf + text[pos:]) == \
+        tokenize_standard(text)
 
 
 @given(_token_text_st)
@@ -184,3 +206,34 @@ def test_tokenizer_covers_all_word_chars(text):
     got = "".join(re.sub(r"[^\w]", "", t, flags=re.UNICODE)
                   for t in tokenize_standard(text))
     assert got == want
+
+
+# ---- pure-Python media codecs (r4) ----
+
+@given(st.integers(min_value=1, max_value=13),
+       st.integers(min_value=1, max_value=13),
+       st.integers(min_value=0, max_value=2**31 - 1))
+@settings(max_examples=60, deadline=None)
+def test_bmp_roundtrip_any_shape(h, w, seed):
+    """encode→decode is identity for every (h, w) — covers the 4-byte row
+    padding and the bottom-up row flip."""
+    import numpy as np
+    from elasticsearch_alps_spark.extras.codecs import decode_bmp, encode_bmp
+    img = np.random.RandomState(seed).randint(0, 256, (h, w, 3),
+                                              dtype=np.uint8)
+    back = decode_bmp(encode_bmp(img))
+    assert back.shape == img.shape and (back == img).all()
+
+
+@given(st.integers(min_value=1, max_value=4000),
+       st.integers(min_value=0, max_value=2**31 - 1))
+@settings(max_examples=40, deadline=None)
+def test_wav_roundtrip_within_quantization(n, seed):
+    import numpy as np
+    from elasticsearch_alps_spark.extras.codecs import decode_wav, encode_wav
+    sig = (np.random.RandomState(seed).uniform(-1, 1, n)
+           .astype(np.float32) * 0.99)
+    frames, rate, ch, back = decode_wav(encode_wav(sig, 8000))
+    assert frames == n and rate == 8000 and ch == 1
+    # encode scales by 32767, decode by 1/32768 → error ≤ |x|/32768 + ½ LSB
+    assert np.abs(back - sig).max() <= 1.5 / 32768.0 + 1e-7

@@ -12,9 +12,20 @@ from __future__ import annotations
 
 from typing import List
 
-from elasticsearch_alps_spark.analysis.analyzers import _TOKEN_RE, analyze
+from elasticsearch_alps_spark.analysis.analyzers import (
+    _CJK_UNIGRAM_RE, _TOKEN_RE, _split_cjk, analyze,
+)
 from elasticsearch_alps_spark.analysis.porter import porter_stem
 from elasticsearch_alps_spark.config import AnalyzerConfig
+
+
+def _is_match(tok: str, qset: set, cfg: AnalyzerConfig) -> bool:
+    norm = tok.lower()
+    candidates = {norm}
+    if cfg.english_stemmer:
+        candidates.add(porter_stem(norm))
+    candidates.update(analyze(tok, cfg))
+    return bool(candidates & qset)
 
 
 def highlight(text: str, query_terms: List[str], cfg: AnalyzerConfig,
@@ -24,16 +35,20 @@ def highlight(text: str, query_terms: List[str], cfg: AnalyzerConfig,
     # locate matching word occurrences by running each surface token through
     # the same normalization the index terms went through; the surface scan
     # uses the SAME UAX#29 token regex as the index (r3 — a bare \w+ scan
-    # could never match joined terms like `example.com` or `it's`)
+    # could never match joined terms like `example.com` or `it's`), and CJK
+    # runs are split into the same unigram pieces the index emits so a CJK
+    # query term wraps only the matching character, not the whole run
+    # (ADVICE r3, r4)
     spans = []
     for m in _TOKEN_RE.finditer(text):
         tok = m.group()
-        norm = tok.lower()
-        candidates = {norm}
-        if cfg.english_stemmer:
-            candidates.add(porter_stem(norm))
-        candidates.update(analyze(tok, cfg))
-        if candidates & qset:
+        if not tok.isascii() and _CJK_UNIGRAM_RE.search(tok):
+            off = m.start()
+            for piece in _split_cjk(tok):
+                if _is_match(piece, qset, cfg):
+                    spans.append((off, off + len(piece)))
+                off += len(piece)
+        elif _is_match(tok, qset, cfg):
             spans.append((m.start(), m.end()))
         if len(spans) >= 64:
             break

@@ -105,6 +105,27 @@ def main() -> None:
             wand.match_query(q).collect()
             wand_s.append(time.time() - t0)
 
+        # use_wand="auto" (r4): mixed hot+rare set, three scorer configs with
+        # the driver path disabled so the DISTRIBUTED scorers are compared —
+        # auto must track the better of the two per query
+        mixed = ("def", "import", "parse json config", "def main")
+        three = {
+            "mixed_exh_p50": SearchEngine(
+                spark, paths.root, QueryConfig(driver_score_max_postings=0)),
+            "mixed_wand_p50": SearchEngine(
+                spark, paths.root, QueryConfig(use_wand=True)),
+            "mixed_auto_p50": SearchEngine(
+                spark, paths.root, QueryConfig(use_wand="auto",
+                                               driver_score_max_postings=0)),
+        }
+        for key, e in three.items():
+            ts = []
+            for q in mixed:
+                t0 = time.time()
+                e.match_query(q).collect()
+                ts.append(time.time() - t0)
+            queries[key] = round(statistics.median(ts), 4)
+
         # keep the JSON line SHORT (driver tail-buffers stdout; the r1
         # per-query dict overflowed it) — per-type aggregates only
         for qtype, ts in by_type.items():

@@ -10,7 +10,7 @@ Mirrors the reference's two extension points:
 from __future__ import annotations
 
 from dataclasses import dataclass, field, asdict
-from typing import Optional
+from typing import Optional, Union
 
 
 @dataclass(frozen=True)
@@ -175,7 +175,16 @@ class QueryConfig:
     driver_score_max_postings: int = 200_000
     fuzzy_max_expansions: int = 50  # search.py:305
     fuzzy_multiword_minimum_should_match: str = "60%"  # search.py:295
-    use_wand: bool = False     # block-max WAND scorer (must be result-identical)
+    # block-max WAND scorer (must be result-identical). False / True /
+    # "auto" — auto picks WAND per query when the largest clause df (O(1)
+    # from the hot-term cache) reaches wand_auto_min_df, else the fused
+    # exhaustive scorer (r4, VERDICT r3 next #2).
+    use_wand: Union[bool, str] = False
+    # Calibrated from the measured crossover (BENCH/BASELINE.md r3 table,
+    # tools/wand_crossover.py): df ≈ 6×10⁴ loses 0.77–0.83×, df ≈ 10⁴–10⁵ is
+    # parity (0.95×), df ≈ 10⁶ wins 1.23–1.48× — so switch just above the
+    # parity band. At 100-TB scale every common token is far past this.
+    wand_auto_min_df: int = 200_000
     # phrase phase-2: broadcast the candidate doc_id set when the candidate
     # upper bound (min term df) is at most this many rows (~8 B/row → ≤40 MB);
     # above it the semi-join shuffles instead of broadcasting
@@ -190,6 +199,12 @@ class QueryConfig:
             self.match_phrase_slop = [self.match_phrase_slop]
         if not isinstance(self.match_query_operator, list):
             self.match_query_operator = [self.match_query_operator]
+        if isinstance(self.use_wand, str):
+            self.use_wand = self.use_wand.lower()
+            if self.use_wand != "auto":
+                raise ValueError(
+                    f"use_wand must be True, False or 'auto', "
+                    f"got {self.use_wand!r}")
 
     def to_dict(self):
         return asdict(self)

@@ -178,6 +178,9 @@ class SearchEngine:
         return self.spark.createDataFrame([], "doc_id long, score double")
 
     _HOT_DF_K = 50_000
+    # which scorer served the last match-family query: "driver" | "fused" |
+    # "exhaustive" | "wand" (diagnostics + use_wand="auto" tests)
+    last_scorer: Optional[str] = None
 
     def _postings_view(self, field: str) -> str:
         """Register (once) the postings DataFrame as a temp view so driver
@@ -234,6 +237,7 @@ class SearchEngine:
         pdf = self.spark.sql(
             f"SELECT term, doc_id, freq, dl FROM {self._postings_view(field)} "
             f"WHERE term IN ({tl})").toPandas()
+        self.last_scorer = "driver"
         if not len(pdf):
             return self._empty_hits()
         n, avgdl = self._fstat(field)
@@ -290,6 +294,7 @@ class SearchEngine:
         separate driver-side lookup job."""
         if not clause_mults:
             return self._empty_hits()
+        self.last_scorer = "fused"
         terms = list({t for _, t, _ in clause_mults})
         n, _ = self._fstat(field)
         cdf = self.spark.createDataFrame(
@@ -331,6 +336,7 @@ class SearchEngine:
         clause terms; keep docs matching ≥ ``required`` distinct clauses."""
         if not clauses:
             return self._empty_hits()
+        self.last_scorer = "exhaustive"
         terms = list({t for _, t, _ in clauses})
         cdf = self.spark.createDataFrame(
             clauses, "clause_id int, term string, weight double")
@@ -369,20 +375,40 @@ class SearchEngine:
         else:
             required = 1
         clause_mults = [(i, t, float(k)) for i, (t, k) in enumerate(mult.items())]
-        if not self.qcfg.use_wand:
+        use_wand = self._resolve_use_wand("main", list(mult))
+        if not use_wand:
             hits = self._score_clauses_driver("main", clause_mults, required, size)
             if hits is not None:
                 return hits
-        if self.qcfg.fused_stats and not self.qcfg.use_wand:
+        if self.qcfg.fused_stats and not use_wand:
             return self._score_clauses_fused("main", clause_mults, required, size)
         dfs = self._df_lookup("main", list(mult))
         clauses = [(i, t, k * self.idf("main", dfs.get(t, 0)))
                    for i, (t, k) in enumerate(mult.items())]
-        if self.qcfg.use_wand:
+        if use_wand:
             # match-query clauses are one-per-distinct-term, so the WAND
             # conjunctive/msm extension applies to AND and msm too (r2)
             return self._wand("main", clauses, size, required)
         return self._score_clauses("main", clauses, required, size)
+
+    def _resolve_use_wand(self, field: str, terms: List[str]) -> bool:
+        """``use_wand="auto"`` (r4, VERDICT r3 next #2): pick WAND per query
+        when the LARGEST clause df reaches qcfg.wand_auto_min_df — pruning
+        pays exactly where posting lists get long (measured crossover,
+        BENCH/BASELINE.md r3: df≈6×10⁴ loses, ≈10⁵ parity, ≈10⁶ wins) — else
+        the fused exhaustive scorer. The df bound is O(1) from the hot-term
+        cache (terms outside the top-K dict have df ≤ the K-th df); WAND also
+        needs the packed blocks on disk."""
+        mode = self.qcfg.use_wand
+        if mode != "auto":
+            return bool(mode)
+        src = self._field_src.get(field, field)
+        packed = self.paths.packed(src)
+        if "://" not in packed and not os.path.exists(packed):
+            return False
+        hot, ceiling = self._hot_dfs(field)
+        maxdf = max((hot.get(t, ceiling) for t in terms), default=0)
+        return maxdf >= self.qcfg.wand_auto_min_df
 
     def _wand(self, field: str, clauses: List[Clause], size: int,
               required: int = 1) -> DataFrame:
@@ -390,6 +416,7 @@ class SearchEngine:
         the exhaustive scorer (pruning is lossless; asserted in tests)."""
         from elasticsearch_alps_spark import fsio
         from elasticsearch_alps_spark.queries.wand import wand_topk
+        self.last_scorer = "wand"
         _, avgdl = self._fstat(field)
         src = self._field_src.get(field, field)
         cached = getattr(self, "_packed_cache", None)
@@ -408,8 +435,15 @@ class SearchEngine:
         # (r2 VERDICT wrong #4 / ADVICE): _response only pays for it when a
         # response row is actually assembled — ad-hoc top-k calls never run it.
         # WAND clauses are one-per-distinct-term (see wand_topk), so
-        # nmatch == countDistinct(term).
+        # nmatch == countDistinct(term). Guard the assumption (ADVICE r3): a
+        # future caller passing duplicate-term or multi-clause-same-term
+        # expansions (e.g. fuzzy) would silently miscount against `required`.
         terms = list({t for _, t, _ in clauses})
+        if len(terms) != len(clauses):
+            raise ValueError(
+                "_wand requires one clause per distinct term "
+                f"(got {len(clauses)} clauses over {len(terms)} terms); "
+                "the total_hits recount counts distinct terms per doc")
         recount = (self._postings[field]
                    .filter(F.col("term").isin(terms))
                    .groupBy("doc_id")

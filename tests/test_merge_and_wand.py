@@ -164,3 +164,48 @@ def test_wand_conjunctive_identical_to_exhaustive(spark, built_index, op, msm):
         got = _ranked(wand.match_query(q, op,
                                        minimum_should_match=msm).collect())
         assert got == want, (q, op, msm)
+
+
+class TestWandAuto:
+    """use_wand="auto" (r4, VERDICT r3 next #2): per-query scorer choice on
+    the max clause df, calibrated from the measured crossover
+    (BENCH/BASELINE.md r3 — pruning wins only once posting lists get long)."""
+
+    def test_auto_matches_better_scorer_per_query(self, spark, built_index):
+        # threshold 5 on this corpus: "def" (hot, df ≫ 5) must take the WAND
+        # path; "uniq_100_1" (df 1) must take the fused exhaustive path —
+        # same engine, per-query decision
+        auto = SearchEngine(spark, built_index.root,
+                            QueryConfig(use_wand="auto", wand_auto_min_df=5,
+                                        driver_score_max_postings=0))
+        got_hot = _ranked(auto.match_query("def").collect())
+        assert auto.last_scorer == "wand"
+        got_rare = _ranked(auto.match_query("uniq_100_1").collect())
+        assert auto.last_scorer == "fused"
+        # both choices are result-identical to the exhaustive reference
+        exhaustive = SearchEngine(
+            spark, built_index.root,
+            QueryConfig(use_wand=False, fused_stats=False,
+                        driver_score_max_postings=0))
+        assert got_hot == _ranked(exhaustive.match_query("def").collect())
+        assert got_rare == _ranked(
+            exhaustive.match_query("uniq_100_1").collect())
+
+    def test_auto_threshold_never_met_stays_exhaustive(self, spark,
+                                                       built_index):
+        eng = SearchEngine(spark, built_index.root,
+                           QueryConfig(use_wand="auto",
+                                       wand_auto_min_df=10**9,
+                                       driver_score_max_postings=0))
+        eng.match_query("def").collect()
+        assert eng.last_scorer == "fused"
+
+    def test_auto_keeps_hybrid_driver_path_for_small_queries(self, spark,
+                                                             built_index):
+        # default driver budget: a small-corpus query under budget is served
+        # driver-side even in auto mode (auto only redirects the distributed
+        # plan)
+        eng = SearchEngine(spark, built_index.root,
+                           QueryConfig(use_wand="auto", wand_auto_min_df=10**9))
+        eng.match_query("parse json").collect()
+        assert eng.last_scorer == "driver"

@@ -1,11 +1,12 @@
 """Multimodal column plumbing: image/audio/video as opaque ``binary`` columns
 with typed metadata, processed by Arrow-batched ``mapInPandas`` operators.
 
-The decode step is STUBBED (image/audio codecs are not in this container —
-see the build brief): ``decode_image_batch`` raises NotImplementedError unless
-``fake=True``, in which case a deterministic fake decoder (seeded by the bytes'
-sha1) produces stable metadata/features so the Spark-side plumbing — schema,
-batching, partitioning, UDF signatures — is real and testable end-to-end.
+Decode (r4): REAL pure-Python decoders handle uncompressed BMP and PCM WAV
+(``extras/codecs.py`` — numpy-vectorized, no external codec library), so the
+NotImplementedError stub boundary covers only compressed/exotic formats
+(PNG/JPEG/video), which genuinely need libraries this container doesn't ship.
+``fake=True`` keeps the deterministic fake decoder (seeded by the bytes'
+sha1) for plumbing tests over arbitrary payloads.
 """
 
 from __future__ import annotations
@@ -31,7 +32,11 @@ def attach_media_metadata(df: DataFrame, payload_col: str = "payload",
     p = F.col(payload_col)
     mime = (F.when(F.substring(p, 1, 4) == bytes([0x89, 0x50, 0x4E, 0x47]), "image/png")
              .when(F.substring(p, 1, 3) == bytes([0xFF, 0xD8, 0xFF]), "image/jpeg")
-             .when(F.substring(p, 1, 4) == b"RIFF", "audio/wav")
+             .when(F.substring(p, 1, 2) == b"BM", "image/bmp")
+             .when((F.substring(p, 1, 4) == b"RIFF")
+                   & (F.substring(p, 9, 4) == b"WAVE"), "audio/wav")
+             .when((F.substring(p, 1, 4) == b"RIFF")
+                   & (F.substring(p, 9, 4) == b"AVI "), "video/avi")
              .otherwise(F.concat(F.lit("application/"), F.col(kind_col))))
     return df.withColumn("n_bytes", F.length(p).cast("long")) \
              .withColumn("mime", mime)
@@ -49,18 +54,38 @@ def _fake_decode(payload: bytes, kind: str, feat_dim: int):
     return width, height, n_frames, duration, feature
 
 
+def _real_decode(payload: bytes, feat_dim: int):
+    """Dispatch on magic bytes to the built-in pure-Python codecs
+    (extras/codecs.py): BMP → pixels + thumbnail feature, PCM WAV → samples +
+    RMS-envelope feature. Anything else raises UnsupportedMediaError
+    (subclass of NotImplementedError — the documented stub boundary, now
+    covering only formats that need external libraries)."""
+    from elasticsearch_alps_spark.extras.codecs import (
+        UnsupportedMediaError, audio_feature, decode_bmp, decode_wav,
+        image_feature,
+    )
+    if payload[:2] == b"BM":
+        rgb = decode_bmp(payload)
+        h, w = rgb.shape[:2]
+        return w, h, 1, 0.0, image_feature(rgb, feat_dim)
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        n, rate, _, samples = decode_wav(payload)
+        return 0, 0, n, n * 1000.0 / rate, audio_feature(samples, feat_dim)
+    raise UnsupportedMediaError(
+        "only uncompressed BMP and PCM WAV decode without external codec "
+        "libraries (PIL/ffmpeg are not installed in this container); pass "
+        "fake=True for the deterministic stub")
+
+
 def decode_media(df: DataFrame, feat_dim: int = 16, fake: bool = False,
                  batch_rows_hint: int = 64) -> DataFrame:
-    """Decode / feature-extract via mapInPandas. Real decode is NOT available
-    in this environment — pass fake=True for the deterministic stub, else this
-    raises NotImplementedError inside the task (documented stub boundary)."""
+    """Decode / feature-extract via mapInPandas. The default path REALLY
+    decodes uncompressed BMP and PCM WAV (pure Python+numpy, r4); other
+    formats raise UnsupportedMediaError inside the task. fake=True keeps the
+    deterministic sha1-seeded stub for format-agnostic plumbing tests."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError(
-                    "media codecs (PIL/ffmpeg/torchaudio) are not installed in "
-                    "this container; pass fake=True for the deterministic stub")
             # column-wise zip (no iterrows — r2, VERDICT r1 wrong #5); the
             # per-payload decode call itself is the irreducible unit a real
             # codec would batch on the GPU/decoder side
@@ -69,9 +94,11 @@ def decode_media(df: DataFrame, feat_dim: int = 16, fake: bool = False,
                    "duration_ms": [], "feature": []}
             for payload, kind in zip(pdf["payload"].to_numpy(),
                                      pdf["kind"].to_numpy()):
-                w, h, nf, dur, feat = _fake_decode(
-                    bytes(payload) if payload is not None else b"", kind,
-                    feat_dim)
+                raw = bytes(payload) if payload is not None else b""
+                if fake:
+                    w, h, nf, dur, feat = _fake_decode(raw, kind, feat_dim)
+                else:
+                    w, h, nf, dur, feat = _real_decode(raw, feat_dim)
                 out["width"].append(w)
                 out["height"].append(h)
                 out["n_frames"].append(nf)

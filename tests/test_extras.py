@@ -211,10 +211,55 @@ class TestMultimodal:
             assert len(a[mid]["feature"]) == 16
         assert a[1]["n_frames"] == 1 and a[2]["n_frames"] > 1
 
-    def test_real_decode_raises(self, media):
+    def test_real_decode_raises_outside_builtin_codecs(self, media):
+        # r4: the stub boundary narrowed to compressed/exotic formats — PNG
+        # payloads still raise (UnsupportedMediaError ⊂ NotImplementedError)
         with pytest.raises(Exception) as ei:
             decode_media(media, fake=False).collect()
-        assert "NotImplementedError" in str(ei.value) or "codecs" in str(ei.value)
+        msg = str(ei.value)
+        assert "UnsupportedMediaError" in msg or "BMP" in msg
+
+    def test_real_decode_bmp_and_wav(self, spark):
+        """r4 (VERDICT r3 next #8): REAL bytes decode end-to-end through the
+        mapInPandas plan — a 3x5 BMP with known pixels and a 0.5 s 440 Hz
+        PCM WAV — no fake path involved."""
+        import numpy as np
+        from elasticsearch_alps_spark.extras.codecs import (
+            encode_bmp, encode_wav, image_feature,
+        )
+        rng = np.random.RandomState(3)
+        img = rng.randint(0, 256, (3, 5, 3), dtype=np.uint8)
+        sig = 0.5 * np.sin(2 * np.pi * 440 *
+                           np.arange(8000, dtype=np.float32) / 16000.0)
+        df = spark.createDataFrame(
+            [(10, "image", bytearray(encode_bmp(img))),
+             (11, "audio", bytearray(encode_wav(sig, 16000)))],
+            "media_id long, kind string, payload binary")
+        rows = {r["media_id"]: r
+                for r in decode_media(df, feat_dim=16, fake=False).collect()}
+        assert rows[10]["width"] == 5 and rows[10]["height"] == 3
+        assert rows[10]["n_frames"] == 1
+        assert list(rows[10]["feature"]) == \
+            pytest.approx(list(image_feature(img, 16)), abs=1e-6)
+        assert rows[11]["n_frames"] == 8000
+        assert rows[11]["duration_ms"] == pytest.approx(500.0)
+        # RMS envelope of a constant-amplitude sine ≈ 0.5/sqrt(2) everywhere
+        feat = np.array(rows[11]["feature"])
+        assert np.all(np.abs(feat - 0.5 / np.sqrt(2)) < 0.02)
+
+    def test_real_decode_mime_sniff_agrees(self, spark):
+        import numpy as np
+        from elasticsearch_alps_spark.extras.codecs import (
+            encode_bmp, encode_wav,
+        )
+        img = np.zeros((2, 2, 3), dtype=np.uint8)
+        df = spark.createDataFrame(
+            [(1, "image", bytearray(encode_bmp(img))),
+             (2, "audio", bytearray(encode_wav(np.zeros(16, np.float32))))],
+            "media_id long, kind string, payload binary")
+        rows = {r["media_id"]: r["mime"]
+                for r in attach_media_metadata(df).collect()}
+        assert rows == {1: "image/bmp", 2: "audio/wav"}
 
     def test_frame_sample(self, media):
         dec = decode_media(media, fake=True)

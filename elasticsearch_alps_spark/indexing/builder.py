@@ -26,6 +26,7 @@ On-disk layout (one "index" = one directory):
 from __future__ import annotations
 
 import json
+import logging
 import math
 import os
 import time
@@ -364,8 +365,62 @@ def build_index(spark: SparkSession, docs_df: DataFrame, out_dir: str,
                 "config_key": config_key,
                 "elapsed_sec": round(time.time() - t0, 3)})
 
-        docs_pool = ThreadPoolExecutor(max_workers=1)
-        docs_write_fut = docs_pool.submit(_write_docs)
+        if os.environ.get("ALPS_SERIAL_DOCS_WRITE") == "1":
+            # diagnostic switch (r4 scaling work): run the docs-store write
+            # serially to measure the overlap's effect at low core counts,
+            # where the background write can oversubscribe the executor pool
+            _write_docs()
+        else:
+            docs_pool = ThreadPoolExecutor(max_workers=1)
+            docs_write_fut = docs_pool.submit(_write_docs)
+    fields_ok = False
+    try:
+        field_stats = _build_fields(
+            spark, cfg, paths, text_col, shards, config_key, resume, norm,
+            n_docs)
+        fields_ok = True
+    finally:
+        # ADVICE r3 (medium): the background docs-store write, its pool and
+        # the docID-assignment cache must be settled on EVERY exit path — a
+        # field-build failure must not swallow a concurrent docs-write error,
+        # leak the writer thread, or leave the persisted cache pinned for the
+        # application lifetime.
+        if docs_write_fut is not None:
+            try:
+                docs_write_fut.result()  # surface write errors
+            except Exception:
+                if fields_ok:
+                    raise  # the write error IS the failure
+                # a primary field-build error is already propagating; log the
+                # write failure rather than masking the original traceback
+                logging.getLogger(__name__).exception(
+                    "background docs-store write also failed")
+            finally:
+                docs_pool.shutdown()
+        if release is not None:
+            release()  # unpin the docID-assignment cache (ADVICE.md r1)
+
+    stats = {
+        "fields": field_stats,
+        "config_key": config_key,
+        "bm25": {"k1": cfg.bm25.k1, "b": cfg.bm25.b},
+        "quantize_norms": cfg.quantize_norms,
+        "text_col": text_col,
+        "id_cols": list(id_cols),
+        "built_unix": time.time(),
+        "build_sec": round(time.time() - t0, 3),
+    }
+    fsio.write_json(paths.stats, stats, spark=spark, indent=2)
+    return paths
+
+
+def _build_fields(spark: SparkSession, cfg: IndexConfig, paths: IndexPaths,
+                  text_col: str, shards: Optional[int], config_key: str,
+                  resume: bool, norm: Optional[DataFrame],
+                  n_docs: Optional[int]) -> dict:
+    """The per-field build section of :func:`build_index`, factored out so the
+    caller can guarantee (try/finally) the background docs-store write and the
+    docID cache are settled even when a field build raises."""
     n_shards = shards or cfg.number_of_shards or spark.sparkContext.defaultParallelism
     if n_docs is None:
         # doc_id_col path (count over the live plan) or resume path
@@ -415,53 +470,42 @@ def build_index(spark: SparkSession, docs_df: DataFrame, out_dir: str,
         src_exact = src_main
         kind = "posts"
 
-    if dual and cached is not None:
-        # materialize the shared analyzer pass ONCE before the concurrent
-        # field builds — two threads hitting an unmaterialized persist would
-        # both compute every partition of the (dominant-cost) tokenize stage
-        cached.count()
-        # the two field builds are independent jobs over the cached postings —
-        # overlap them so the exact field's shuffle/write fills the straggler
-        # tail of the main field's stages (round-2 scaling work)
-        with ThreadPoolExecutor(max_workers=1) as pool:
-            exact_fut = pool.submit(
-                _build_field, spark, n_docs, src_exact, kind, paths, "exact",
-                cfg.exact_analyzer, cfg, n_shards, config_key, resume, False)
+    try:
+        if dual and cached is not None:
+            # materialize the shared analyzer pass ONCE before the concurrent
+            # field builds — two threads hitting an unmaterialized persist
+            # would both compute every partition of the (dominant-cost)
+            # tokenize stage
+            cached.count()
+            # the two field builds are independent jobs over the cached
+            # postings — overlap them so the exact field's shuffle/write fills
+            # the straggler tail of the main field's stages (round-2 scaling)
+            with ThreadPoolExecutor(max_workers=1) as pool:
+                exact_fut = pool.submit(
+                    _build_field, spark, n_docs, src_exact, kind, paths,
+                    "exact", cfg.exact_analyzer, cfg, n_shards, config_key,
+                    resume, False)
+                field_stats["main"] = _build_field(
+                    spark, n_docs, src_main, kind, paths, "main", cfg.analyzer,
+                    cfg, n_shards, config_key, resume, cfg.build_packed)
+                # packed blocks exist for WAND, which only runs on the main
+                # field — the exact field skips the packing cost
+                field_stats["exact"] = exact_fut.result()
+        else:
             field_stats["main"] = _build_field(
                 spark, n_docs, src_main, kind, paths, "main", cfg.analyzer,
-                cfg, n_shards, config_key, resume, cfg.build_packed)
-            # packed blocks exist for WAND, which only runs on the main
-            # field — the exact field skips the packing cost
-            field_stats["exact"] = exact_fut.result()
-    else:
-        field_stats["main"] = _build_field(
-            spark, n_docs, src_main, kind, paths, "main", cfg.analyzer, cfg,
-            n_shards, config_key, resume, build_packed=cfg.build_packed)
-        if same_analyzer:
-            # text.exact has the identical analysis chain → alias, don't rebuild
-            field_stats["exact"] = {**field_stats["main"], "alias": "main"}
-        elif cfg.exact_analyzer is not None:
-            field_stats["exact"] = _build_field(
-                spark, n_docs, src_exact, kind, paths, "exact",
-                cfg.exact_analyzer, cfg, n_shards, config_key, resume,
-                build_packed=False)
-    if cached is not None:
-        cached.unpersist()
-    if docs_write_fut is not None:
-        docs_write_fut.result()  # surface write errors before declaring done
-        docs_pool.shutdown()
-    if release is not None:
-        release()  # unpin the docID-assignment cache (ADVICE.md r1)
-
-    stats = {
-        "fields": field_stats,
-        "config_key": config_key,
-        "bm25": {"k1": cfg.bm25.k1, "b": cfg.bm25.b},
-        "quantize_norms": cfg.quantize_norms,
-        "text_col": text_col,
-        "id_cols": list(id_cols),
-        "built_unix": time.time(),
-        "build_sec": round(time.time() - t0, 3),
-    }
-    fsio.write_json(paths.stats, stats, spark=spark, indent=2)
-    return paths
+                cfg, n_shards, config_key, resume,
+                build_packed=cfg.build_packed)
+            if same_analyzer:
+                # text.exact has the identical analysis chain → alias, don't
+                # rebuild
+                field_stats["exact"] = {**field_stats["main"], "alias": "main"}
+            elif cfg.exact_analyzer is not None:
+                field_stats["exact"] = _build_field(
+                    spark, n_docs, src_exact, kind, paths, "exact",
+                    cfg.exact_analyzer, cfg, n_shards, config_key, resume,
+                    build_packed=False)
+    finally:
+        if cached is not None:
+            cached.unpersist()
+    return field_stats

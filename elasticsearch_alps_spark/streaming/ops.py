@@ -57,6 +57,22 @@ def streaming_first_seen(stream_df: DataFrame, key_col: str = "content_sha256",
 
     Output/payload column types are derived from ``stream_df.schema`` (r3,
     ADVICE r2: the previous hardcoded ``long`` corrupted non-long payloads).
+
+    TTL firing caveat (Spark semantics, r4 doc): ``hasTimedOut`` is only
+    delivered for a group when a micro-batch runs WITHOUT data for that
+    group — a key that appears in every batch never expires (its TTL resets
+    each sighting, which is what a dedup wants), and a key whose TTL has
+    lapsed only gets evicted once some OTHER data triggers a batch. E.g.
+    with ``state_ttl_ms=1``::
+
+        batch 1: {k1}            # k1 state created
+        ...> state_ttl_ms elapses
+        batch 2: {k2}            # k1 absent → its timeout fires → evicted
+        batch 3: {k1}            # k1 is first-seen again (emitted)
+
+    Without the intervening batch 2, batch 3 would arrive while k1's
+    timeout is pending-but-undelivered and k1 would still count as seen
+    (tested: test_first_seen_state_ttl_expires).
     """
     payload_cols = list(payload_cols)
     ddl = {f.name: f.dataType.simpleString() for f in stream_df.schema.fields}

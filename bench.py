@@ -105,6 +105,11 @@ def main() -> None:
             wand.match_query(q).collect()
             wand_s.append(time.time() - t0)
 
+        # `value` keeps the r1-r3 scope (build + reference queries + WAND
+        # trio) so rounds stay comparable; the r4 three-way section below is
+        # timed separately as mixed_section_sec
+        t_core = time.time() - t_total0
+
         # use_wand="auto" (r4): mixed hot+rare set, three scorer configs with
         # the driver path disabled so the DISTRIBUTED scorers are compared —
         # auto must track the better of the two per query
@@ -134,7 +139,8 @@ def main() -> None:
         queries["wand_p50"] = round(statistics.median(wand_s), 4)
         queries["n_queries"] = len(lat_ms)
         p50 = statistics.median(lat_ms)
-        total = time.time() - t_total0
+        queries["mixed_section_sec"] = round(time.time() - t_total0 - t_core, 3)
+        total = t_core
         print(json.dumps({
             "metric": "index_build_plus_query_p50",
             "value": round(total, 3),

@@ -1,19 +1,25 @@
 """Pure-Python media codecs for the multimodal pipeline (r4, VERDICT r3
-next #8): real decoders for the two formats that need no external codec
-library — uncompressed BMP (BI_RGB 24/32-bit) and PCM WAV (8/16-bit) — so
-``decode_media(fake=False)`` does real work and the NotImplementedError stub
-boundary shrinks to compressed/exotic codecs only (PNG/JPEG/ffmpeg formats,
-which genuinely need libraries this container doesn't ship).
+next #8): real decoders for the formats that need no external codec
+library — uncompressed BMP (BI_RGB 24/32-bit), PCM WAV (8/16-bit), and
+non-interlaced 8-bit PNG (all five scanline filters; gray/RGB/palette/
+alpha color types, inflate via stdlib zlib) — so ``decode_media(fake=False)``
+does real work and the NotImplementedError stub boundary shrinks to formats
+that genuinely need libraries this container doesn't ship (JPEG, video,
+compressed audio).
 
-Both decoders are numpy-vectorized after a struct-parsed header: the per-file
-Python cost is header parsing; pixel/sample manipulation is one frombuffer +
-reshape/astype. Formats are public: BMP per the Windows BITMAPINFOHEADER
-layout, WAV per the RIFF/WAVE PCM spec.
+The decoders are numpy-vectorized after a struct-parsed header: BMP/WAV are
+one frombuffer + reshape/astype; PNG unfilters None/Up/Sub rows fully
+vectorized (Sub via a per-byte-lane cumsum) and falls back to a per-pixel
+loop only for Average/Paeth rows, whose left-neighbor dependency is
+inherently sequential. Formats are public: BMP per the Windows
+BITMAPINFOHEADER layout, WAV per the RIFF/WAVE PCM spec, PNG per RFC 2083 /
+the W3C PNG spec.
 """
 
 from __future__ import annotations
 
 import struct
+import zlib
 from typing import Tuple
 
 import numpy as np
@@ -21,7 +27,7 @@ import numpy as np
 
 class UnsupportedMediaError(NotImplementedError):
     """Raised for formats outside the built-in pure-Python codecs (the
-    documented stub boundary — PNG/JPEG/video need external libraries)."""
+    documented stub boundary — JPEG/video need external libraries)."""
 
 
 # --------------------------------------------------------------------- BMP
@@ -136,6 +142,111 @@ def audio_feature(samples: np.ndarray, dim: int) -> np.ndarray:
     return out
 
 
+# --------------------------------------------------------------------- PNG
+
+PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+# channels per PNG color type: 0 gray, 2 RGB, 3 palette, 4 gray+α, 6 RGB+α
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """Decode a non-interlaced 8-bit PNG → HxWx3 uint8 RGB.
+
+    All five scanline filters (None/Sub/Up/Average/Paeth) and all five
+    color types (palette via PLTE; alpha dropped). Inflate is stdlib zlib;
+    CRCs are not verified (a decoder may skip them; encoders we emit write
+    correct ones). 16-bit depth and Adam7 interlace raise
+    UnsupportedMediaError.
+    """
+    if payload[:8] != PNG_MAGIC:
+        raise UnsupportedMediaError("not a PNG file")
+    pos, ihdr, plte, idat = 8, None, None, []
+    while pos + 8 <= len(payload):
+        ln = struct.unpack_from(">I", payload, pos)[0]
+        ctype = payload[pos + 4:pos + 8]
+        body = payload[pos + 8:pos + 8 + ln]
+        if ctype == b"IHDR":
+            ihdr = body
+        elif ctype == b"PLTE":
+            plte = body
+        elif ctype == b"IDAT":
+            idat.append(body)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + ln  # length + type + data + crc
+    if ihdr is None or len(ihdr) < 13 or not idat:
+        raise UnsupportedMediaError("PNG missing IHDR/IDAT")
+    w, h, depth, color, _comp, _filt, interlace = struct.unpack(
+        ">IIBBBBB", ihdr[:13])
+    if depth != 8:
+        raise UnsupportedMediaError(f"PNG bit depth {depth} unsupported")
+    if interlace != 0:
+        raise UnsupportedMediaError("interlaced (Adam7) PNG unsupported")
+    bpp = _PNG_CHANNELS.get(color)
+    if bpp is None:
+        raise UnsupportedMediaError(f"PNG color type {color} invalid")
+    if w <= 0 or h <= 0:
+        raise UnsupportedMediaError("PNG has empty dimensions")
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error as e:
+        raise UnsupportedMediaError(f"PNG inflate failed: {e}") from e
+    stride = w * bpp
+    if len(raw) < h * (stride + 1):
+        raise UnsupportedMediaError("PNG pixel data truncated")
+    arr = np.frombuffer(raw, np.uint8,
+                        count=h * (stride + 1)).reshape(h, stride + 1)
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        f, cur = arr[y, 0], arr[y, 1:]
+        if f == 0:          # None
+            rec = cur.copy()
+        elif f == 2:        # Up — uint8 addition wraps mod 256, as specified
+            rec = cur + prev
+        elif f == 1:        # Sub — per-byte-lane cumsum (x_i = raw_i + x_{i-bpp})
+            rec = np.cumsum(cur.reshape(w, bpp).astype(np.uint64),
+                            axis=0).astype(np.uint8).reshape(stride)
+        elif f == 3:        # Average — left-neighbor dependency → sequential
+            rec = np.empty(stride, np.uint8)
+            for i in range(stride):
+                left = int(rec[i - bpp]) if i >= bpp else 0
+                rec[i] = (int(cur[i]) + ((left + int(prev[i])) >> 1)) & 0xFF
+        elif f == 4:        # Paeth — sequential for the same reason
+            rec = np.empty(stride, np.uint8)
+            for i in range(stride):
+                a = int(rec[i - bpp]) if i >= bpp else 0
+                b = int(prev[i])
+                c = int(prev[i - bpp]) if i >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                rec[i] = (int(cur[i]) + pr) & 0xFF
+        else:
+            raise UnsupportedMediaError(f"PNG filter type {f} invalid")
+        out[y] = rec
+        prev = rec
+    px = out.reshape(h, w, bpp)
+    if color == 2:
+        rgb = px
+    elif color == 6:
+        rgb = px[:, :, :3]
+    elif color == 0:
+        rgb = np.repeat(px, 3, axis=2)
+    elif color == 4:
+        rgb = np.repeat(px[:, :, :1], 3, axis=2)
+    else:  # color == 3: palette
+        if plte is None:
+            raise UnsupportedMediaError("palette PNG missing PLTE")
+        pal = np.frombuffer(plte, np.uint8)
+        pal = pal[:(len(pal) // 3) * 3].reshape(-1, 3)
+        idx = px[:, :, 0]
+        if int(idx.max(initial=0)) >= len(pal):
+            raise UnsupportedMediaError("PNG palette index out of range")
+        rgb = pal[idx]
+    return np.ascontiguousarray(rgb)
+
+
 # ------------------------------------------------------------------ encode
 # Minimal encoders so tests can synthesize real files without fixtures on
 # disk (and a user can round-trip).
@@ -152,6 +263,53 @@ def encode_bmp(rgb: np.ndarray) -> bytes:
     info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, img_size,
                        2835, 2835, 0, 0)
     return header + info + rows[::-1].tobytes()  # bottom-up row order
+
+
+def encode_png(rgb: np.ndarray, row_filters=None) -> bytes:
+    """Encode HxWx3 uint8 RGB → 8-bit truecolor PNG (valid CRCs).
+
+    ``row_filters`` (sequence cycled over rows, values 0-4) selects the
+    scanline filter per row — the spec's forward filters reference the
+    previous ORIGINAL bytes (= reconstructed bytes), so forward filtering
+    vectorizes; tests use this to exercise every unfilter path in
+    :func:`decode_png`.
+    """
+    h, w, _ = rgb.shape
+    bpp = 3
+    raw = rgb.reshape(h, w * bpp).astype(np.int16)
+    zeros = np.zeros(bpp, np.int16)
+    lines = []
+    prev = np.zeros(w * bpp, np.int16)
+    for y in range(h):
+        cur = raw[y]
+        f = int(row_filters[y % len(row_filters)]) if row_filters else 0
+        left = np.concatenate([zeros, cur[:-bpp]])
+        upleft = np.concatenate([zeros, prev[:-bpp]])
+        if f == 0:
+            filt = cur
+        elif f == 1:
+            filt = cur - left
+        elif f == 2:
+            filt = cur - prev
+        elif f == 3:
+            filt = cur - ((left + prev) >> 1)
+        else:  # 4: Paeth
+            p = left + prev - upleft
+            pa, pb, pc = np.abs(p - left), np.abs(p - prev), np.abs(p - upleft)
+            pred = np.where((pa <= pb) & (pa <= pc), left,
+                            np.where(pb <= pc, prev, upleft))
+            filt = cur - pred
+        lines.append(bytes([f]) + (filt & 0xFF).astype(np.uint8).tobytes())
+        prev = cur
+    comp = zlib.compress(b"".join(lines))
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (struct.pack(">I", len(data)) + ctype + data
+                + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (PNG_MAGIC + chunk(b"IHDR", ihdr) + chunk(b"IDAT", comp)
+            + chunk(b"IEND", b""))
 
 
 def encode_wav(samples: np.ndarray, rate: int = 16000) -> bytes:

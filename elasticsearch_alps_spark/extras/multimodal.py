@@ -61,20 +61,25 @@ def _real_decode(payload: bytes, feat_dim: int):
     (subclass of NotImplementedError — the documented stub boundary, now
     covering only formats that need external libraries)."""
     from elasticsearch_alps_spark.extras.codecs import (
-        UnsupportedMediaError, audio_feature, decode_bmp, decode_wav,
-        image_feature,
+        PNG_MAGIC, UnsupportedMediaError, audio_feature, decode_bmp,
+        decode_png, decode_wav, image_feature,
     )
     if payload[:2] == b"BM":
         rgb = decode_bmp(payload)
+        h, w = rgb.shape[:2]
+        return w, h, 1, 0.0, image_feature(rgb, feat_dim)
+    if payload[:8] == PNG_MAGIC:
+        rgb = decode_png(payload)
         h, w = rgb.shape[:2]
         return w, h, 1, 0.0, image_feature(rgb, feat_dim)
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         n, rate, _, samples = decode_wav(payload)
         return 0, 0, n, n * 1000.0 / rate, audio_feature(samples, feat_dim)
     raise UnsupportedMediaError(
-        "only uncompressed BMP and PCM WAV decode without external codec "
-        "libraries (PIL/ffmpeg are not installed in this container); pass "
-        "fake=True for the deterministic stub")
+        "only PNG (8-bit non-interlaced), uncompressed BMP and PCM WAV "
+        "decode without external codec libraries (PIL/ffmpeg are not "
+        "installed in this container); pass fake=True for the "
+        "deterministic stub")
 
 
 def decode_media(df: DataFrame, feat_dim: int = 16, fake: bool = False,

@@ -247,6 +247,41 @@ class TestMultimodal:
         feat = np.array(rows[11]["feature"])
         assert np.all(np.abs(feat - 0.5 / np.sqrt(2)) < 0.02)
 
+    def test_real_decode_png_color_types(self, spark):
+        """r4: PNG decodes through the mapInPandas plan — truecolor via our
+        encoder (mixed scanline filters) and hand-built grayscale/palette
+        files (stdlib-zlib chunks, valid CRCs)."""
+        import struct
+        import zlib
+        import numpy as np
+        from elasticsearch_alps_spark.extras.codecs import (
+            PNG_MAGIC, encode_png, image_feature,
+        )
+
+        def chunk(t, d):
+            return (struct.pack(">I", len(d)) + t + d
+                    + struct.pack(">I", zlib.crc32(t + d) & 0xFFFFFFFF))
+
+        rng = np.random.RandomState(9)
+        img = rng.randint(0, 256, (5, 4, 3), dtype=np.uint8)
+        truecolor = encode_png(img, row_filters=[0, 1, 2, 3, 4])
+        gray = np.array([[3, 250]], dtype=np.uint8)
+        gray_png = (PNG_MAGIC
+                    + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 1, 8, 0,
+                                                 0, 0, 0))
+                    + chunk(b"IDAT", zlib.compress(b"\x00" + gray.tobytes()))
+                    + chunk(b"IEND", b""))
+        df = spark.createDataFrame(
+            [(20, "image", bytearray(truecolor)),
+             (21, "image", bytearray(gray_png))],
+            "media_id long, kind string, payload binary")
+        rows = {r["media_id"]: r
+                for r in decode_media(df, feat_dim=16, fake=False).collect()}
+        assert rows[20]["width"] == 4 and rows[20]["height"] == 5
+        assert list(rows[20]["feature"]) == \
+            pytest.approx(list(image_feature(img, 16)), abs=1e-6)
+        assert rows[21]["width"] == 2 and rows[21]["height"] == 1
+
     def test_real_decode_mime_sniff_agrees(self, spark):
         import numpy as np
         from elasticsearch_alps_spark.extras.codecs import (

@@ -237,3 +237,21 @@ def test_wav_roundtrip_within_quantization(n, seed):
     assert frames == n and rate == 8000 and ch == 1
     # encode scales by 32767, decode by 1/32768 → error ≤ |x|/32768 + ½ LSB
     assert np.abs(back - sig).max() <= 1.5 / 32768.0 + 1e-7
+
+
+@given(st.integers(min_value=1, max_value=11),
+       st.integers(min_value=1, max_value=11),
+       st.lists(st.integers(min_value=0, max_value=4), min_size=1,
+                max_size=6),
+       st.integers(min_value=0, max_value=2**31 - 1))
+@settings(max_examples=60, deadline=None)
+def test_png_roundtrip_all_filters(h, w, filts, seed):
+    """encode→decode identity for any shape and any per-row scanline filter
+    sequence — covers the vectorized None/Sub/Up paths and the sequential
+    Average/Paeth unfilter paths."""
+    import numpy as np
+    from elasticsearch_alps_spark.extras.codecs import decode_png, encode_png
+    img = np.random.RandomState(seed).randint(0, 256, (h, w, 3),
+                                              dtype=np.uint8)
+    back = decode_png(encode_png(img, row_filters=filts))
+    assert back.shape == img.shape and (back == img).all()

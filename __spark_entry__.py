@@ -587,6 +587,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         .orderBy("id"))
     q["tx_fingerprint"] = lambda s, sf: textstats.fingerprint_md5(
         docs_df(s, sf), "text", "doc_id").orderBy("id")
+    # r4: Gopher-style repetition signals (duplicate-line ratio, top-bigram
+    # fraction, threshold flag) — the repetition filter stage of a
+    # training-data pipeline
+    q["tx_repetition"] = lambda s, sf: textstats.repetition_stats(
+        docs_df(s, sf), "text", "doc_id").orderBy("id")
 
     # ---- aggregations (SURVEY.md §2.5 G1-G5 shapes) ----
     def agg_events(s, sf):
@@ -958,6 +963,41 @@ FROM best WHERE rn = 1 ORDER BY id"""
 SELECT doc_id::BIGINT AS id,
        md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint
 FROM documents ORDER BY id"""
+
+    o["tx_repetition"] = r"""
+WITH base AS (
+  SELECT doc_id::BIGINT AS id,
+         list_filter(list_transform(string_split(text, chr(10)),
+                                    x -> trim(x)), x -> x <> '') AS lines,
+         list_filter(regexp_split_to_array(lower(text), '\s+'),
+                     x -> x <> '') AS toks
+  FROM documents
+),
+m AS (
+  SELECT id, len(lines)::INT AS n_lines,
+         CASE WHEN len(lines) > 0 THEN
+           (len(lines) - len(list_distinct(lines)))::DOUBLE
+           / len(lines)::DOUBLE ELSE 0.0 END AS dup_line_ratio,
+         CASE WHEN len(toks) >= 2 THEN len(toks) - 1 ELSE 0 END AS n_bigrams,
+         toks
+  FROM base
+),
+bg AS (
+  SELECT id, toks[i] || ' ' || toks[i + 1] AS bigram
+  FROM m, UNNEST(range(1, len(toks))) AS u(i)
+  WHERE len(toks) >= 2
+),
+tc AS (SELECT id, bigram, count(*) AS c FROM bg GROUP BY 1, 2),
+tp AS (SELECT id, max(c) AS top FROM tc GROUP BY 1)
+SELECT m.id, m.n_lines, ROUND(m.dup_line_ratio, 6) AS dup_line_ratio,
+       ROUND(CASE WHEN m.n_bigrams > 0 THEN
+           COALESCE(tp.top, 0)::DOUBLE / m.n_bigrams::DOUBLE
+           ELSE 0.0 END, 6) AS top_bigram_frac,
+       (ROUND(m.dup_line_ratio, 6) > 0.3
+        OR ROUND(CASE WHEN m.n_bigrams > 0 THEN
+             COALESCE(tp.top, 0)::DOUBLE / m.n_bigrams::DOUBLE
+             ELSE 0.0 END, 6) > 0.2) AS repetitive
+FROM m LEFT JOIN tp ON m.id = tp.id ORDER BY m.id"""
 
     o["tpch_orders_by_status"] = """
 SELECT o_orderstatus, count(*)::BIGINT AS n,

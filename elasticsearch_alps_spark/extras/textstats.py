@@ -92,6 +92,63 @@ def language_id(df: DataFrame, text_col: str = "text",
          .otherwise(F.lit(0.0)).alias("lang_score"))
 
 
+def repetition_stats(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id",
+                     dup_line_threshold: float = 0.3,
+                     top_bigram_threshold: float = 0.2) -> DataFrame:
+    """Gopher-style repetition signals per doc (r4): duplicate-line ratio and
+    top-bigram fraction, plus a ``repetitive`` flag at the given thresholds —
+    the repetition filters a large-scale training-data pipeline applies
+    before dedup (cf. the Gopher paper's repetition heuristics).
+
+    Fully Catalyst: line metrics are array expressions; the top-bigram count
+    is an explode → two key-partitioned aggregations (rows ≤ token count, no
+    cross-doc traffic), so the plan scales linearly with corpus size.
+
+    Threshold caveat: ``top_bigram_frac`` is at least ``1/n_bigrams``, so
+    very short docs trip the default 0.2 threshold trivially — these
+    thresholds (like Gopher's) are meant for long training documents;
+    pre-filter by length or raise the thresholds for short-doc corpora.
+    """
+    c = F.col(text_col)
+    lines = F.filter(F.transform(F.split(c, "\n"), lambda x: F.trim(x)),
+                     lambda x: x != F.lit(""))
+    n_lines = F.size(lines)
+    n_dup = n_lines - F.size(F.array_distinct(lines))
+    dup_line_ratio = F.when(n_lines > 0,
+                            n_dup.cast("double") / n_lines.cast("double")) \
+                      .otherwise(F.lit(0.0))
+    toks = F.filter(F.split(F.lower(c), r"\s+"), lambda x: x != F.lit(""))
+    base = df.select(
+        F.col(id_col).cast("long").alias("id"),
+        n_lines.alias("n_lines"),
+        F.round(dup_line_ratio, 6).alias("dup_line_ratio"),
+        toks.alias("toks")).withColumn(
+        "n_bigrams",
+        F.when(F.size("toks") >= 2, F.size("toks") - 1).otherwise(F.lit(0)))
+    bigrams = (base
+               .filter(F.col("n_bigrams") > 0)
+               .select("id", F.explode(F.transform(
+                   F.sequence(F.lit(1), F.size("toks") - 1),
+                   lambda i: F.concat_ws(
+                       " ", F.element_at(F.col("toks"), i),
+                       F.element_at(F.col("toks"), i + F.lit(1)))))
+                   .alias("bigram")))
+    top = (bigrams.groupBy("id", "bigram").count()
+           .groupBy("id").agg(F.max("count").alias("top")))
+    frac = F.round(
+        F.when(F.col("n_bigrams") > 0,
+               F.coalesce(F.col("top"), F.lit(0)).cast("double")
+               / F.col("n_bigrams").cast("double")).otherwise(F.lit(0.0)), 6)
+    return (base.join(top, "id", "left")
+            .select("id", "n_lines", "dup_line_ratio",
+                    frac.alias("top_bigram_frac"))
+            .withColumn("repetitive",
+                        (F.col("dup_line_ratio") > F.lit(dup_line_threshold))
+                        | (F.col("top_bigram_frac")
+                           > F.lit(top_bigram_threshold))))
+
+
 def fingerprint_md5(df: DataFrame, text_col: str = "text",
                     id_col: str = "doc_id") -> DataFrame:
     """Normalization fingerprint: md5 of the lowercased, whitespace-collapsed

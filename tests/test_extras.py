@@ -176,6 +176,32 @@ class TestTextStats:
         assert langs[2] == "fr" and langs[3] == "es"
         assert langs[4] == "unknown"
 
+    def test_repetition_stats_hand_computed(self, spark):
+        """r4 Gopher-style repetition signals, hand-computed goldens:
+        doc 0: 4 lines, 'spam line' duplicated 3x -> dup_line_ratio 0.5
+               (4 lines, 2 distinct); tokens 'spam line spam line spam line
+               unique tail' -> 8 tokens, 7 bigrams, top 'spam line' x3 ->
+               3/7; repetitive (0.5 > 0.3).
+        doc 1: 12 distinct tokens -> 11 distinct bigrams, top frac 1/11
+               < 0.2 -> not repetitive (note: a SHORT doc is inherently
+               "repetitive" by top-bigram frac since 1/n_bigrams is large -
+               the thresholds target long training docs, like Gopher's).
+        doc 2: one token -> 0 bigrams, frac 0.0."""
+        from elasticsearch_alps_spark.extras.textstats import repetition_stats
+        d = spark.createDataFrame(
+            [(0, "spam line\nspam line\nspam line\nunique tail"),
+             (1, "a1 b2 c3 d4 e5 f6\ng7 h8 i9 j10 k11 l12"),
+             (2, "solo")],
+            "doc_id long, text string")
+        rows = {r["id"]: r for r in repetition_stats(d).collect()}
+        assert rows[0]["n_lines"] == 4
+        assert rows[0]["dup_line_ratio"] == pytest.approx(0.5)
+        assert rows[0]["top_bigram_frac"] == pytest.approx(round(3 / 7, 6))
+        assert rows[0]["repetitive"] is True
+        assert rows[1]["dup_line_ratio"] == 0.0
+        assert rows[1]["repetitive"] is False
+        assert rows[2]["top_bigram_frac"] == 0.0 and rows[2]["n_lines"] == 1
+
     def test_rolling_hash_stable_under_suffix_edit(self, spark):
         d = spark.createDataFrame(
             [(0, "shared prefix body of text that is long enough AAA"),

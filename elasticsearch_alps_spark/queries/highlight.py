@@ -54,29 +54,39 @@ def highlight(text: str, query_terms: List[str], cfg: AnalyzerConfig,
             break
     if not spans:
         return []
-    frags: List[str] = []
+    # Build ALL non-overlapping candidate windows left-to-right, then SELECT
+    # the best-scoring number_of_fragments and emit them in text order —
+    # mirroring ES's unified highlighter, which picks the top-scoring
+    # passages but (without order:"score", which the reference never sets,
+    # search.py:158-169) returns them in document order. Score = (distinct
+    # matched query terms, total matches), ties broken by position, so
+    # uniform-density texts degrade to the first-N behavior.
+    candidates = []  # (n_distinct, n_matches, start, hi, rendered)
     used_until = -1
     for start, end in spans:
-        if len(frags) >= number_of_fragments:
-            break
         if start <= used_until:
             continue
         half = max(0, (fragment_size - (end - start)) // 2)
         lo = max(0, start - half)
         hi = min(len(text), end + half)
-        frag = text[lo:hi]
         # wrap every matching span inside this window
         out = []
         cursor = lo
+        n_matches = 0
+        distinct = set()
         for s, e in spans:
             if s >= lo and e <= hi:
                 out.append(text[cursor:s])
                 out.append("<MATCH>" + text[s:e] + "</MATCH>")
                 cursor = e
+                n_matches += 1
+                distinct.add(text[s:e].lower())
         out.append(text[cursor:hi])
-        frags.append("".join(out))
+        candidates.append((len(distinct), n_matches, start, "".join(out)))
         used_until = hi
-    return frags
+    best = sorted(candidates,
+                  key=lambda c: (-c[0], -c[1], c[2]))[:number_of_fragments]
+    return [c[3] for c in sorted(best, key=lambda c: c[2])]
 
 
 def format_snippets(hits: List[dict], query_terms: List[str], cfg: AnalyzerConfig,

@@ -259,6 +259,28 @@ class TestHighlightGoldens:
                         number_of_fragments=2) == \
             ["<MATCH>spark</MATCH> x", "x <MATCH>spark</MATCH> y"]
 
+    def test_best_fragment_selected_not_first(self):
+        # r4: selection is by score (distinct terms, then match count),
+        # output in text order — a later window with BOTH query terms beats
+        # an earlier single-match window (what ES's unified highlighter's
+        # passage scoring does)
+        text = "spark intro " + "x" * 40 + " spark lucene core"
+        got = self._hl(text, ["spark", "lucene"], fragment_size=20,
+                       number_of_fragments=1)
+        assert len(got) == 1
+        assert "<MATCH>spark</MATCH> <MATCH>lucene</MATCH>" in got[0]
+
+    def test_selected_fragments_keep_text_order(self):
+        # two 2-distinct windows beat the middle 1-match window; emitted in
+        # text order even though selection is by score
+        text = ("spark lucene " + "a" * 40 + " spark only " + "b" * 40
+                + " lucene spark")
+        got = self._hl(text, ["spark", "lucene"], fragment_size=24,
+                       number_of_fragments=2)
+        assert len(got) == 2
+        assert "<MATCH>spark</MATCH> <MATCH>lucene</MATCH>" in got[0]
+        assert "<MATCH>lucene</MATCH> <MATCH>spark</MATCH>" in got[1]
+
     def test_stopword_not_wrapped(self):
         assert self._hl("the fox", ["fox"], WEB_CONTENT_ANALYZER) == \
             ["the <MATCH>fox</MATCH>"]

@@ -343,6 +343,70 @@ def _ivf_oracle_centroids(sf_dir: str, n_centroids: int, iters: int,
     return kmeans_fit(x, n_centroids, iters, seed)
 
 
+def _pq_oracle_fit(sf_dir: str, m: int, n_codes: int, iters: int,
+                   sample: int, seed: int):
+    """Refit the gate's PQ codebooks from the SAME ordered rows
+    pq_fit_codebooks uses, with the SAME numpy code — bit-equal float64
+    codebooks inlined as literals into the oracle SQL. Also returns the
+    query vector (vec_id 0) and its exact sequential-fold norm."""
+    import duckdb
+    import numpy as np
+    from elasticsearch_alps_spark.extras.simsearch import _seq_dot, kmeans_fit
+    rows = duckdb.sql(
+        f"SELECT embedding FROM read_parquet('{sf_dir}/embeddings.parquet') "
+        f"ORDER BY vec_id LIMIT {sample}").fetchall()
+    x = np.asarray([list(r[0]) for r in rows], dtype=np.float64)
+    dsub = x.shape[1] // m
+    cb = np.stack([kmeans_fit(x[:, j * dsub:(j + 1) * dsub], n_codes,
+                              iters, seed + j) for j in range(m)])
+    q = [float(v) for v in duckdb.sql(
+        f"SELECT embedding FROM read_parquet('{sf_dir}/embeddings.parquet') "
+        f"WHERE vec_id = 0").fetchone()[0]]
+    qn = float(np.sqrt(_seq_dot(q, q)))
+    return cb, q, qn
+
+
+def _sql_ann_pq(sf_dir: str, m: int, n_codes: int, k: int, iters: int = 5,
+                sample: int = 10_000, seed: int = 42) -> str:
+    from elasticsearch_alps_spark.extras.simsearch import _seq_dot
+    cb, q, qn = _pq_oracle_fit(sf_dir, m, n_codes, iters, sample, seed)
+    _, _, dsub = cb.shape
+
+    def sqdist(j: int, c: int) -> str:
+        # left-associative `+` chain of per-dimension squared diffs — the
+        # same float64 accumulation order as pq_encode's column-wise loop
+        terms = []
+        for i in range(dsub):
+            idx = j * dsub + i + 1  # 1-based
+            v = repr(float(cb[j, c, i]))
+            terms.append(f"(e.embedding[{idx}]::DOUBLE - {v}) * "
+                         f"(e.embedding[{idx}]::DOUBLE - {v})")
+        return "(" + " + ".join(terms) + ")"
+
+    dl_cols = ", ".join(
+        "[" + ", ".join(sqdist(j, c) for c in range(n_codes)) + f"] AS dl{j}"
+        for j in range(m))
+    code_cols = ", ".join(
+        f"(list_position(dl{j}, list_min(dl{j})) - 1) AS c{j}"
+        for j in range(m))
+    dot_tbls = [_arr([_seq_dot(q[j * dsub:(j + 1) * dsub], cb[j, c])
+                      for c in range(n_codes)]) for j in range(m)]
+    nrm_tbls = [_arr([_seq_dot(cb[j, c], cb[j, c]) for c in range(n_codes)])
+                for j in range(m)]
+    dot_sum = " + ".join(f"({dot_tbls[j]})[c{j} + 1]" for j in range(m))
+    n2_sum = " + ".join(f"({nrm_tbls[j]})[c{j} + 1]" for j in range(m))
+    return f"""
+WITH dl AS (
+  SELECT e.vec_id::BIGINT AS id, {dl_cols}
+  FROM embeddings e
+),
+enc AS (
+  SELECT id, {code_cols} FROM dl
+)
+SELECT id, ROUND(({dot_sum}) / (sqrt({n2_sum}) * {qn!r}), 5) AS cosine
+FROM enc ORDER BY cosine DESC, id ASC LIMIT {k}"""
+
+
 def _sql_ann_ivf(sf_dir: str, n_centroids: int, n_probe: int, k: int,
                  iters: int = 5, sample: int = 10_000, seed: int = 42) -> str:
     cent = _ivf_oracle_centroids(sf_dir, n_centroids, iters, sample, seed)
@@ -577,6 +641,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return (hits.withColumn("cosine", F.round("cosine", 5))
                     .orderBy(F.desc("cosine"), F.asc("id")).limit(10))
     q["sx_ann_ivf"] = ann_ivf
+
+    def ann_pq(s, sf):
+        # r4: product quantization — codes-only ADC scan (the 100-TB memory
+        # path: m small ints per vector + literal lookup tables, floats
+        # never leave parquet after encoding)
+        e = s.read.parquet(os.path.join(sf, "embeddings.parquet"))
+        qv = e.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
+        cb = simsearch.pq_fit_codebooks(e, m=8, n_codes=16)
+        enc = simsearch.pq_encode(e, cb)
+        hits = simsearch.pq_topk(enc, qv, cb, k=_BIG)
+        return (hits.withColumn("cosine", F.round("cosine", 5))
+                    .orderBy(F.desc("cosine"), F.asc("id")).limit(10))
+    q["sx_ann_pq"] = ann_pq
 
     # ---- text analysis ----
     q["tx_text_stats"] = lambda s, sf: textstats.text_stats(
@@ -848,10 +925,11 @@ ORDER BY id_a, id_b"""
     try:
         o["sx_ann_ivf"] = _sql_ann_ivf(_gate_sf, n_centroids=8, n_probe=3,
                                        k=10)
+        o["sx_ann_pq"] = _sql_ann_pq(_gate_sf, m=8, n_codes=16, k=10)
     except Exception:
-        # centroid refit needs driver-side access to the sf0.01 parquet;
-        # if unavailable, degrade to the rows-only check rather than a
-        # hard oracle error
+        # centroid/codebook refit needs driver-side access to the sf0.01
+        # parquet; if unavailable, degrade to the rows-only check rather
+        # than a hard oracle error
         pass
     o["dx_embed_cosine_lsh"] = _sql_embed_cosine_lsh(n_planes=6, seed=42,
                                                      dim=64, threshold=0.4)

@@ -204,3 +204,95 @@ def lsh_topk(emb: DataFrame, query_vec: Sequence[float], k: int = 10,
     bucketed = hyperplane_buckets(emb, n_planes, seed, dim, vec_col)
     cand = bucketed.filter(F.col("lsh_bucket").isin(probes))
     return brute_force_topk(cand, query_vec, k, id_col, vec_col)
+
+
+# ------------------------------------------------------------- PQ (r4)
+
+def pq_fit_codebooks(emb: DataFrame, m: int = 8, n_codes: int = 16,
+                     iters: int = 5, sample: int = 10_000, seed: int = 42,
+                     vec_col: str = "embedding") -> np.ndarray:
+    """Product-quantization codebooks: split the vector into ``m`` equal
+    subspaces and run the shared deterministic k-means per subspace on the
+    SAME ordered driver-side sample ivf_fit_centroids uses (so the SQL
+    oracle can refit bit-identical codebooks). Returns (m, n_codes, dim/m).
+
+    PQ is the 100-TB memory story: after encoding, the ANN scan reads only
+    ``m`` small ints per vector (codes column) plus m×n_codes lookup tables
+    broadcast as literals — the float vectors never leave parquet."""
+    id_col = "vec_id" if "vec_id" in emb.columns else None
+    sel = emb.select(vec_col) if id_col is None else \
+        emb.orderBy(id_col).select(vec_col)
+    rows = sel.limit(sample).collect()
+    x = np.asarray([list(r[0]) for r in rows], dtype=np.float64)
+    dim = x.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    return np.stack([kmeans_fit(x[:, j * dsub:(j + 1) * dsub], n_codes,
+                                iters, seed + j) for j in range(m)])
+
+
+def pq_encode(emb: DataFrame, codebooks: np.ndarray,
+              vec_col: str = "embedding",
+              out_col: str = "pq_code") -> DataFrame:
+    """Add ``out_col`` = array<int> of ``m`` code indices (nearest codeword
+    per subspace, first index on ties). Vectorized Pandas UDF accumulating
+    (v−c)² COLUMN-WISE in dimension order — the same left-to-right float64
+    summation as a sequential fold, so near-tie assignments agree to the
+    last ulp with the SQL oracle's `+`-chained squared terms (the ivf_assign
+    k>64 lesson, ADVICE r2)."""
+    import pandas as pd
+
+    cb = np.asarray(codebooks, dtype=np.float64)  # (m, n_codes, dsub)
+    m, n_codes, dsub = cb.shape
+
+    @F.pandas_udf("array<int>")
+    def codes(vecs):
+        x = np.asarray([np.asarray(v, dtype=np.float64) for v in vecs])
+        if not len(x):
+            return pd.Series([], dtype="object")
+        out = np.empty((x.shape[0], m), dtype=np.int32)
+        for j in range(m):
+            acc = np.zeros((x.shape[0], n_codes), dtype=np.float64)
+            for i in range(dsub):
+                diff = x[:, j * dsub + i, None] - cb[None, j, :, i]
+                acc += diff * diff
+            out[:, j] = acc.argmin(axis=1)  # first index on ties
+        return pd.Series(list(out))
+
+    return emb.withColumn(out_col, codes(F.col(vec_col)))
+
+
+def pq_topk(encoded: DataFrame, query_vec: Sequence[float],
+            codebooks: np.ndarray, k: int = 10, id_col: str = "vec_id",
+            code_col: str = "pq_code") -> DataFrame:
+    """Asymmetric-distance (ADC) approximate cosine top-k over PQ codes:
+    cosine ≈ Σ_j dot(q_j, cw_j) / (sqrt(Σ_j ‖cw_j‖²) · ‖q‖), all three
+    factors read from per-subspace lookup tables indexed by the stored
+    code — a pure-Catalyst map over the codes column (element_at on literal
+    arrays, no join, no shuffle) + TakeOrderedAndProject. The lookup tables
+    are computed driver-side with the sequential fold (_seq_dot) and appear
+    as the SAME float64 literals in the SQL oracle."""
+    from functools import reduce
+    cb = np.asarray(codebooks, dtype=np.float64)
+    m, n_codes, dsub = cb.shape
+    q = [float(v) for v in query_vec]
+    qn = float(np.sqrt(_seq_dot(q, q)))
+    dot_tbl = [[_seq_dot(q[j * dsub:(j + 1) * dsub], cb[j, c])
+                for c in range(n_codes)] for j in range(m)]
+    nrm_tbl = [[_seq_dot(cb[j, c], cb[j, c]) for c in range(n_codes)]
+               for j in range(m)]
+
+    def lookup(tbl, j):
+        arr = F.array(*[F.lit(float(v)) for v in tbl[j]])
+        return F.element_at(arr, F.element_at(F.col(code_col), j + 1)
+                            + F.lit(1))
+
+    approx_dot = reduce(lambda a, b: a + b,
+                        [lookup(dot_tbl, j) for j in range(m)])
+    approx_n2 = reduce(lambda a, b: a + b,
+                       [lookup(nrm_tbl, j) for j in range(m)])
+    cos = approx_dot / (F.sqrt(approx_n2) * F.lit(qn))
+    return (encoded.select(F.col(id_col).cast("long").alias("id"),
+                           cos.alias("cosine"))
+            .orderBy(F.desc("cosine"), F.asc("id")).limit(k))

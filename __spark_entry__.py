@@ -366,11 +366,12 @@ def _pq_oracle_fit(sf_dir: str, m: int, n_codes: int, iters: int,
     return cb, q, qn
 
 
-def _sql_ann_pq(sf_dir: str, m: int, n_codes: int, k: int, iters: int = 5,
-                sample: int = 10_000, seed: int = 42) -> str:
+def _pq_sql_parts(cb, q) -> dict:
+    """Shared SQL fragments for the PQ oracles: per-subspace distance-list
+    columns, code columns, and the ADC lookup sums — every float literal
+    produced with the same sequential-fold discipline as the Spark side."""
     from elasticsearch_alps_spark.extras.simsearch import _seq_dot
-    cb, q, qn = _pq_oracle_fit(sf_dir, m, n_codes, iters, sample, seed)
-    _, _, dsub = cb.shape
+    m, n_codes, dsub = cb.shape
 
     def sqdist(j: int, c: int) -> str:
         # left-associative `+` chain of per-dimension squared diffs — the
@@ -383,27 +384,69 @@ def _sql_ann_pq(sf_dir: str, m: int, n_codes: int, k: int, iters: int = 5,
                          f"(e.embedding[{idx}]::DOUBLE - {v})")
         return "(" + " + ".join(terms) + ")"
 
-    dl_cols = ", ".join(
-        "[" + ", ".join(sqdist(j, c) for c in range(n_codes)) + f"] AS dl{j}"
-        for j in range(m))
-    code_cols = ", ".join(
-        f"(list_position(dl{j}, list_min(dl{j})) - 1) AS c{j}"
-        for j in range(m))
     dot_tbls = [_arr([_seq_dot(q[j * dsub:(j + 1) * dsub], cb[j, c])
                       for c in range(n_codes)]) for j in range(m)]
     nrm_tbls = [_arr([_seq_dot(cb[j, c], cb[j, c]) for c in range(n_codes)])
                 for j in range(m)]
-    dot_sum = " + ".join(f"({dot_tbls[j]})[c{j} + 1]" for j in range(m))
-    n2_sum = " + ".join(f"({nrm_tbls[j]})[c{j} + 1]" for j in range(m))
+    return {
+        "dl_cols": ", ".join(
+            "[" + ", ".join(sqdist(j, c) for c in range(n_codes))
+            + f"] AS dl{j}" for j in range(m)),
+        "code_cols": ", ".join(
+            f"(list_position(dl{j}, list_min(dl{j})) - 1) AS c{j}"
+            for j in range(m)),
+        "dot_sum": " + ".join(f"({dot_tbls[j]})[c{j} + 1]"
+                              for j in range(m)),
+        "n2_sum": " + ".join(f"({nrm_tbls[j]})[c{j} + 1]"
+                             for j in range(m)),
+    }
+
+
+def _sql_ann_pq(sf_dir: str, m: int, n_codes: int, k: int, iters: int = 5,
+                sample: int = 10_000, seed: int = 42) -> str:
+    cb, q, qn = _pq_oracle_fit(sf_dir, m, n_codes, iters, sample, seed)
+    p = _pq_sql_parts(cb, q)
     return f"""
 WITH dl AS (
-  SELECT e.vec_id::BIGINT AS id, {dl_cols}
+  SELECT e.vec_id::BIGINT AS id, {p['dl_cols']}
   FROM embeddings e
 ),
 enc AS (
-  SELECT id, {code_cols} FROM dl
+  SELECT id, {p['code_cols']} FROM dl
 )
-SELECT id, ROUND(({dot_sum}) / (sqrt({n2_sum}) * {qn!r}), 5) AS cosine
+SELECT id, ROUND(({p['dot_sum']}) / (sqrt({p['n2_sum']}) * {qn!r}), 5) AS cosine
+FROM enc ORDER BY cosine DESC, id ASC LIMIT {k}"""
+
+
+def _sql_ann_ivfpq(sf_dir: str, n_centroids: int, n_probe: int, m: int,
+                   n_codes: int, k: int, iters: int = 5,
+                   sample: int = 10_000, seed: int = 42) -> str:
+    from elasticsearch_alps_spark.extras.simsearch import _seq_dot
+    cent = _ivf_oracle_centroids(sf_dir, n_centroids, iters, sample, seed)
+    cb, q, qn = _pq_oracle_fit(sf_dir, m, n_codes, iters, sample, seed)
+    p = _pq_sql_parts(cb, q)
+    dim = cent.shape[1]
+    # probe cells chosen driver-side exactly like ivfpq_topk: sequential-fold
+    # distances, (distance, index) tie-break — both engines get the same
+    # literal cell list
+    d = [_seq_dot([float(a) - float(b) for a, b in zip(c, q)],
+                  [float(a) - float(b) for a, b in zip(c, q)])
+         for c in cent]
+    probe = sorted(range(len(d)), key=lambda i: (d[i], i))[:n_probe]
+    vdists = ", ".join(f"({_seq_sqdist('e.embedding', cent[c], dim)})"
+                       for c in range(n_centroids))
+    cells = ", ".join(str(c) for c in probe)
+    return f"""
+WITH va AS (
+  SELECT e.vec_id::BIGINT AS id,
+         (list_position([{vdists}], list_min([{vdists}])) - 1) AS cell,
+         {p['dl_cols']}
+  FROM embeddings e
+),
+enc AS (
+  SELECT id, {p['code_cols']} FROM va WHERE cell IN ({cells})
+)
+SELECT id, ROUND(({p['dot_sum']}) / (sqrt({p['n2_sum']}) * {qn!r}), 5) AS cosine
 FROM enc ORDER BY cosine DESC, id ASC LIMIT {k}"""
 
 
@@ -654,6 +697,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return (hits.withColumn("cosine", F.round("cosine", 5))
                     .orderBy(F.desc("cosine"), F.asc("id")).limit(10))
     q["sx_ann_pq"] = ann_pq
+
+    def ann_ivfpq(s, sf):
+        # r4: FAISS-standard IVF-PQ — coarse cells prune, ADC scores codes
+        e = s.read.parquet(os.path.join(sf, "embeddings.parquet"))
+        qv = e.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
+        hits = simsearch.ivfpq_topk(e, qv, k=_BIG, n_centroids=8, n_probe=3,
+                                    m=8, n_codes=16)
+        return (hits.withColumn("cosine", F.round("cosine", 5))
+                    .orderBy(F.desc("cosine"), F.asc("id")).limit(10))
+    q["sx_ann_ivfpq"] = ann_ivfpq
 
     # ---- text analysis ----
     q["tx_text_stats"] = lambda s, sf: textstats.text_stats(
@@ -926,6 +979,8 @@ ORDER BY id_a, id_b"""
         o["sx_ann_ivf"] = _sql_ann_ivf(_gate_sf, n_centroids=8, n_probe=3,
                                        k=10)
         o["sx_ann_pq"] = _sql_ann_pq(_gate_sf, m=8, n_codes=16, k=10)
+        o["sx_ann_ivfpq"] = _sql_ann_ivfpq(_gate_sf, n_centroids=8,
+                                           n_probe=3, m=8, n_codes=16, k=10)
     except Exception:
         # centroid/codebook refit needs driver-side access to the sf0.01
         # parquet; if unavailable, degrade to the rows-only check rather

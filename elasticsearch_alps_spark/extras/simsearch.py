@@ -296,3 +296,34 @@ def pq_topk(encoded: DataFrame, query_vec: Sequence[float],
     return (encoded.select(F.col(id_col).cast("long").alias("id"),
                            cos.alias("cosine"))
             .orderBy(F.desc("cosine"), F.asc("id")).limit(k))
+
+
+def ivfpq_topk(emb: DataFrame, query_vec: Sequence[float], k: int = 10,
+               n_centroids: int = 16, n_probe: int = 4, m: int = 8,
+               n_codes: int = 16, iters: int = 5, seed: int = 42,
+               id_col: str = "vec_id", vec_col: str = "embedding",
+               centroids: np.ndarray = None,
+               codebooks: np.ndarray = None) -> DataFrame:
+    """IVF-PQ (the FAISS-standard composition, r4): coarse k-means cells
+    prune the candidate set, then the asymmetric-distance PQ scan scores
+    only the probed cells' codes. Codebooks are GLOBAL (no per-cell
+    residual), so the stored codes are probe-set-independent — encode once,
+    serve any query. At 100-TB scale this is the shape that works: the
+    probe filter prunes partitions, the ADC scan reads m small ints per
+    surviving row, and the float vectors are touched only at encode time."""
+    if centroids is None:
+        centroids = ivf_fit_centroids(emb, n_centroids, iters, seed=seed,
+                                      vec_col=vec_col)
+    if codebooks is None:
+        codebooks = pq_fit_codebooks(emb, m, n_codes, iters, seed=seed,
+                                     vec_col=vec_col)
+    # probe-cell choice mirrors ivf_topk: sequential-fold distances with
+    # (distance, index) tie-break — driver-side, identical in the oracle
+    d = [_seq_dot([float(a) - float(b) for a, b in zip(c, query_vec)],
+                  [float(a) - float(b) for a, b in zip(c, query_vec)])
+         for c in centroids]
+    probe_cells = sorted(range(len(d)), key=lambda i: (d[i], i))[:n_probe]
+    assigned = ivf_assign(emb, centroids, vec_col)
+    cand = assigned.filter(F.col("ivf_cell").isin(probe_cells))
+    return pq_topk(pq_encode(cand, codebooks, vec_col), query_vec,
+                   codebooks, k, id_col)

@@ -174,6 +174,23 @@ class TestSimSearch:
         assert top[0]["cosine"] <= 1.0 + 1e-6
         assert len(top) == 5
 
+    def test_ivfpq_full_probe_equals_pq(self, spark):
+        """r4 IVF-PQ: probing ALL cells degrades exactly to plain PQ ADC
+        (codebooks are global, no residual encoding) — same ids, same
+        scores."""
+        from elasticsearch_alps_spark.extras.simsearch import (
+            ivfpq_topk, pq_encode, pq_fit_codebooks, pq_topk,
+        )
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        qv = emb.filter(F.col("vec_id") == 7).first()["embedding"]
+        cb = pq_fit_codebooks(emb, m=8, n_codes=16)
+        want = [(r["id"], round(r["cosine"], 9))
+                for r in pq_topk(pq_encode(emb, cb), qv, cb, k=15).collect()]
+        got = [(r["id"], round(r["cosine"], 9))
+               for r in ivfpq_topk(emb, qv, k=15, n_centroids=8, n_probe=8,
+                                   m=8, n_codes=16).collect()]
+        assert got == want
+
     def test_lsh_contains_self_and_high_recall_top1(self, spark):
         emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
         qv = emb.filter(F.col("vec_id") == 7).first()["embedding"]

@@ -113,3 +113,42 @@ def test_fuzzy_length_band_pushed_to_scan(spark, engine):
                                                           ["pars", "jsno"]))
     assert "GreaterThanOrEqual(term_len" in multi
     assert "LessThanOrEqual(term_len" in multi
+
+
+def test_pq_topk_plan_is_shuffle_free(spark):
+    """r4 PQ ADC: the codes-only scan must be a pure map (element_at on
+    literal lookup tables) + TakeOrderedAndProject — no Exchange, no join,
+    no Python in the scoring path (the encode UDF ran upstream)."""
+    import numpy as np
+    from elasticsearch_alps_spark.extras.simsearch import (
+        pq_encode, pq_fit_codebooks, pq_topk,
+    )
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qv = emb.first()["embedding"]
+    cb = pq_fit_codebooks(emb, m=8, n_codes=16)
+    # materialize codes to parquet — the serving-time shape (encode once,
+    # scan codes many times)
+    import tempfile
+    d = tempfile.mkdtemp(prefix="alps_pq_plan_") + "/codes"
+    pq_encode(emb, cb).select("vec_id", "pq_code").write.parquet(d)
+    codes = spark.read.parquet(d)
+    plan = _formatted_plan(pq_topk(codes, qv, cb, k=10))
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange" not in plan, "ADC scan must not shuffle"
+    assert "Join" not in plan, "lookup tables are literals, not a join"
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan, \
+        "no Python in the ADC scoring path"
+    scan = plan.split("Scan parquet")[1]
+    assert "embedding" not in scan, "the float vectors must not be read"
+
+
+def test_repetition_stats_plan_partial_aggs(spark):
+    """tx_repetition: both aggregations must have map-side partials and the
+    only exchanges are the two key-partitioned ones (id,bigram) → (id)."""
+    from elasticsearch_alps_spark.extras.textstats import repetition_stats
+    d = spark.createDataFrame([(0, "a b\nc d"), (1, "x y\nx y")],
+                              "doc_id long, text string")
+    plan = _formatted_plan(repetition_stats(d))
+    assert "partial_count" in plan or "partial_max" in plan, \
+        "map-side combine expected"
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan

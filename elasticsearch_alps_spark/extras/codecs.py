@@ -100,17 +100,26 @@ def decode_wav(payload: bytes) -> Tuple[int, int, int, np.ndarray]:
     """
     if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise UnsupportedMediaError("not a RIFF/WAVE file")
-    pos, fmt, data = 12, None, None
+    pos, fmt, data, data_size = 12, None, None, 0
     while pos + 8 <= len(payload):
         cid, size = payload[pos:pos + 4], struct.unpack_from("<I", payload, pos + 4)[0]
         body = payload[pos + 8:pos + 8 + size]
         if cid == b"fmt ":
             fmt = body
         elif cid == b"data":
-            data = body
+            data, data_size = body, size
         pos += 8 + size + (size & 1)  # chunks are word-aligned
     if fmt is None or data is None:
         raise UnsupportedMediaError("WAVE missing fmt/data chunk")
+    # a PCM fmt chunk is ≥16 bytes; shorter would make the slices below read
+    # garbage or raise raw struct.error, escaping the documented boundary
+    # exception type (ADVICE r4) — same for a data chunk whose declared size
+    # exceeds the payload (would silently truncate samples)
+    if len(fmt) < 16:
+        raise UnsupportedMediaError(f"WAVE fmt chunk truncated ({len(fmt)} < 16 bytes)")
+    if len(data) < data_size:
+        raise UnsupportedMediaError(
+            f"WAVE data chunk truncated ({len(data)} of {data_size} declared bytes)")
     audio_fmt, channels, rate = struct.unpack_from("<HHI", fmt, 0)
     bits = struct.unpack_from("<H", fmt, 14)[0]
     if audio_fmt != 1:  # PCM only (no float/ADPCM/extensible)

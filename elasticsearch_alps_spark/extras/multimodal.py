@@ -1,10 +1,12 @@
 """Multimodal column plumbing: image/audio/video as opaque ``binary`` columns
 with typed metadata, processed by Arrow-batched ``mapInPandas`` operators.
 
-Decode (r4): REAL pure-Python decoders handle uncompressed BMP and PCM WAV
-(``extras/codecs.py`` — numpy-vectorized, no external codec library), so the
-NotImplementedError stub boundary covers only compressed/exotic formats
-(PNG/JPEG/video), which genuinely need libraries this container doesn't ship.
+Decode (r4): REAL pure-Python decoders handle non-interlaced 8-bit PNG,
+uncompressed BMP and PCM WAV (``extras/codecs.py`` — numpy-vectorized, no
+external codec library), so the NotImplementedError stub boundary covers only
+JPEG / video / compressed audio, which genuinely need libraries this
+container doesn't ship (ADVICE r4: keep this list in sync with the
+``UnsupportedMediaError`` message and codecs.py).
 ``fake=True`` keeps the deterministic fake decoder (seeded by the bytes'
 sha1) for plumbing tests over arbitrary payloads.
 """
@@ -56,10 +58,11 @@ def _fake_decode(payload: bytes, kind: str, feat_dim: int):
 
 def _real_decode(payload: bytes, feat_dim: int):
     """Dispatch on magic bytes to the built-in pure-Python codecs
-    (extras/codecs.py): BMP → pixels + thumbnail feature, PCM WAV → samples +
-    RMS-envelope feature. Anything else raises UnsupportedMediaError
-    (subclass of NotImplementedError — the documented stub boundary, now
-    covering only formats that need external libraries)."""
+    (extras/codecs.py): PNG/BMP → pixels + thumbnail feature, PCM WAV →
+    samples + RMS-envelope feature. Anything else (JPEG, video, compressed
+    audio) raises UnsupportedMediaError (subclass of NotImplementedError —
+    the documented stub boundary, covering only formats that need external
+    libraries)."""
     from elasticsearch_alps_spark.extras.codecs import (
         PNG_MAGIC, UnsupportedMediaError, audio_feature, decode_bmp,
         decode_png, decode_wav, image_feature,

@@ -396,9 +396,13 @@ class SearchEngine:
         when the LARGEST clause df reaches qcfg.wand_auto_min_df — pruning
         pays exactly where posting lists get long (measured crossover,
         BENCH/BASELINE.md r3: df≈6×10⁴ loses, ≈10⁵ parity, ≈10⁶ wins) — else
-        the fused exhaustive scorer. The df bound is O(1) from the hot-term
-        cache (terms outside the top-K dict have df ≤ the K-th df); WAND also
-        needs the packed blocks on disk."""
+        the fused exhaustive scorer. The decision is O(1) from the hot-term
+        cache except in one regime — every query term outside the top-K dict
+        while the K-th df itself clears the threshold — where a pruned
+        term_stats lookup resolves it exactly (ADVICE r4: assuming the
+        ceiling there misrouted all rare-term queries to WAND on corpora
+        whose 50k-th term is that hot). WAND also needs the packed blocks
+        on disk."""
         mode = self.qcfg.use_wand
         if mode != "auto":
             return bool(mode)
@@ -406,9 +410,20 @@ class SearchEngine:
         packed = self.paths.packed(src)
         if "://" not in packed and not os.path.exists(packed):
             return False
+        thresh = self.qcfg.wand_auto_min_df
         hot, ceiling = self._hot_dfs(field)
-        maxdf = max((hot.get(t, ceiling) for t in terms), default=0)
-        return maxdf >= self.qcfg.wand_auto_min_df
+        if any(hot.get(t, 0) >= thresh for t in terms):
+            return True  # exact: a hot term alone clears the bar
+        missing = [t for t in terms if t not in hot]
+        if not missing or ceiling < thresh:
+            # hot answers exactly (ceiling==0 → full vocabulary: absent
+            # terms have df 0), or no absent term can reach the threshold
+            return False
+        # ambiguous regime (ADVICE r4): the 50k-th df is ≥ the threshold, so
+        # "absent ⇒ ceiling" would misroute every rare-term query to WAND —
+        # resolve with the tiny pruned term_stats lookup instead
+        dfs = self._df_lookup(field, missing)
+        return any(dfs.get(t, 0) >= thresh for t in missing)
 
     def _wand(self, field: str, clauses: List[Clause], size: int,
               required: int = 1) -> DataFrame:

@@ -13,7 +13,7 @@ from __future__ import annotations
 from typing import List
 
 from elasticsearch_alps_spark.analysis.analyzers import (
-    _CJK_UNIGRAM_RE, _TOKEN_RE, _split_cjk, analyze,
+    _CJK_UNIGRAM_RE, _FORMAT_STRIP_RE, _TOKEN_RE, _split_cjk, analyze,
 )
 from elasticsearch_alps_spark.analysis.porter import porter_stem
 from elasticsearch_alps_spark.config import AnalyzerConfig
@@ -38,18 +38,38 @@ def highlight(text: str, query_terms: List[str], cfg: AnalyzerConfig,
     # could never match joined terms like `example.com` or `it's`), and CJK
     # runs are split into the same unigram pieces the index emits so a CJK
     # query term wraps only the matching character, not the whole run
-    # (ADVICE r3, r4)
+    # (ADVICE r3, r4). The index strips UAX#29 WB4 Format chars BEFORE
+    # tokenizing ("a⁠b" indexes as "ab"), so the surface scan must too
+    # (ADVICE r4) — scan the stripped text and map span offsets back to the
+    # original through an offset table, so the wrapped surface word keeps
+    # its invisible joiners intact in the rendered fragment.
+    if _FORMAT_STRIP_RE.search(text):
+        parts, offmap, last = [], [], 0
+        for fm in _FORMAT_STRIP_RE.finditer(text):
+            parts.append(text[last:fm.start()])
+            offmap.extend(range(last, fm.start()))
+            last = fm.end()
+        parts.append(text[last:])
+        offmap.extend(range(last, len(text)))
+        offmap.append(len(text))  # end sentinel for spans ending at EOS
+        scan = "".join(parts)
+    else:
+        scan, offmap = text, None
+
+    def _orig(s: int, e: int):
+        return (s, e) if offmap is None else (offmap[s], offmap[e - 1] + 1)
+
     spans = []
-    for m in _TOKEN_RE.finditer(text):
+    for m in _TOKEN_RE.finditer(scan):
         tok = m.group()
         if not tok.isascii() and _CJK_UNIGRAM_RE.search(tok):
             off = m.start()
             for piece in _split_cjk(tok):
                 if _is_match(piece, qset, cfg):
-                    spans.append((off, off + len(piece)))
+                    spans.append(_orig(off, off + len(piece)))
                 off += len(piece)
         elif _is_match(tok, qset, cfg):
-            spans.append((m.start(), m.end()))
+            spans.append(_orig(m.start(), m.end()))
         if len(spans) >= 64:
             break
     if not spans:
@@ -61,7 +81,7 @@ def highlight(text: str, query_terms: List[str], cfg: AnalyzerConfig,
     # search.py:158-169) returns them in document order. Score = (distinct
     # matched query terms, total matches), ties broken by position, so
     # uniform-density texts degrade to the first-N behavior.
-    candidates = []  # (n_distinct, n_matches, start, hi, rendered)
+    candidates = []  # (n_distinct, n_matches, start, rendered)
     used_until = -1
     for start, end in spans:
         if start <= used_until:

@@ -288,6 +288,21 @@ class TestHighlightGoldens:
     def test_no_match_empty(self):
         assert self._hl("nothing here", ["absent"]) == []
 
+    def test_format_char_joined_word_wraps_whole_surface(self):
+        # ADVICE r4: "data⁠base" indexes as the joined token "database"
+        # (WB4 Format strip); the surface scan must find it too and wrap the
+        # WHOLE surface word, invisible joiner included
+        assert self._hl("a data⁠base here", ["database"]) == \
+            ["a <MATCH>data⁠base</MATCH> here"]
+
+    def test_format_char_offsets_stay_exact_after_strip(self):
+        # a soft hyphen BEFORE the match must not shift the wrapped span
+        assert self._hl("co­op and spark", ["spark"]) == \
+            ["co­op and <MATCH>spark</MATCH>"]
+        # ZWSP is WB-class Other (breaks): "a​b" stays two tokens, so
+        # "ab" must NOT match across it
+        assert self._hl("a​b here", ["ab"]) == []
+
 
 class TestChain:
     def test_web_content_analyzer(self):

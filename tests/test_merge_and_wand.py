@@ -209,3 +209,19 @@ class TestWandAuto:
                            QueryConfig(use_wand="auto", wand_auto_min_df=10**9))
         eng.match_query("parse json").collect()
         assert eng.last_scorer == "driver"
+
+    def test_auto_rare_term_outside_hot_cache_not_misrouted(self, spark,
+                                                            built_index):
+        # ADVICE r4: with a hot-term cache too small to hold the vocabulary
+        # AND a ceiling (K-th df) above the threshold, a rare term absent
+        # from the cache used to inherit the ceiling and misroute to WAND;
+        # the fix resolves it exactly via the pruned term_stats lookup
+        eng = SearchEngine(spark, built_index.root,
+                           QueryConfig(use_wand="auto", wand_auto_min_df=5,
+                                       driver_score_max_postings=0))
+        eng._HOT_DF_K = 1  # cache holds only the single hottest term
+        hot, ceiling = eng._hot_dfs("main")
+        assert ceiling >= 5  # precondition: the ambiguous regime is live
+        assert "uniq_100_1" not in hot
+        eng.match_query("uniq_100_1").collect()
+        assert eng.last_scorer == "fused"  # df=1 < 5, resolved exactly

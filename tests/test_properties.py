@@ -239,6 +239,30 @@ def test_wav_roundtrip_within_quantization(n, seed):
     assert np.abs(back - sig).max() <= 1.5 / 32768.0 + 1e-7
 
 
+def test_wav_malformed_chunks_raise_boundary_error():
+    """ADVICE r4: a short fmt chunk or a data chunk whose declared size
+    exceeds the payload must raise UnsupportedMediaError (the documented
+    boundary type), never raw struct.error / silent truncation."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from elasticsearch_alps_spark.extras.codecs import (
+        UnsupportedMediaError, decode_wav, encode_wav,
+    )
+    good = encode_wav(np.zeros(16, np.float32), 8000)
+    # shrink the fmt chunk: declared size 12 (< 16), body truncated to match
+    fmt_at = good.index(b"fmt ")
+    bad_fmt = (good[:fmt_at + 4] + struct.pack("<I", 12)
+               + good[fmt_at + 8:fmt_at + 20] + good[fmt_at + 24:])
+    with pytest.raises(UnsupportedMediaError, match="fmt chunk truncated"):
+        decode_wav(bad_fmt)
+    # truncate the payload under the data chunk's declared size
+    with pytest.raises(UnsupportedMediaError, match="data chunk truncated"):
+        decode_wav(good[:-4])
+
+
 @given(st.integers(min_value=1, max_value=11),
        st.integers(min_value=1, max_value=11),
        st.lists(st.integers(min_value=0, max_value=4), min_size=1,

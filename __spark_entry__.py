@@ -708,6 +708,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                     .orderBy(F.desc("cosine"), F.asc("id")).limit(10))
     q["sx_ann_ivfpq"] = ann_ivfpq
 
+    def ann_ivfpq_served(s, sf):
+        # r5 (VERDICT r4 next #2): build the persisted ANN artifact
+        # (cell-partitioned codes parquet + centroid/codebook meta), then
+        # serve the query from the STORED codes — the plan is a
+        # partition-pruned codes scan with no Python, no Exchange, and no
+        # embedding column (plan-asserted in test_plan_quality.py)
+        import hashlib
+        import tempfile
+        e = s.read.parquet(os.path.join(sf, "embeddings.parquet"))
+        qv = e.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
+        out = os.path.join(tempfile.gettempdir(), "alps_ann_gate_"
+                           + hashlib.md5(sf.encode()).hexdigest()[:10])
+        simsearch.build_ann_index(e, out, n_centroids=8, m=8, n_codes=16)
+        hits = simsearch.ivfpq_topk_served(s, out, qv, k=_BIG, n_probe=3)
+        return (hits.withColumn("cosine", F.round("cosine", 5))
+                    .orderBy(F.desc("cosine"), F.asc("id")).limit(10))
+    q["sx_ann_ivfpq_served"] = ann_ivfpq_served
+
     # ---- text analysis ----
     q["tx_text_stats"] = lambda s, sf: textstats.text_stats(
         docs_df(s, sf), "text", "doc_id").orderBy("id")
@@ -981,6 +999,11 @@ ORDER BY id_a, id_b"""
         o["sx_ann_pq"] = _sql_ann_pq(_gate_sf, m=8, n_codes=16, k=10)
         o["sx_ann_ivfpq"] = _sql_ann_ivfpq(_gate_sf, n_centroids=8,
                                            n_probe=3, m=8, n_codes=16, k=10)
+        # r5: the served path reads probe-set-independent stored codes, so
+        # the same re-encoding oracle must reproduce it bit-for-bit
+        o["sx_ann_ivfpq_served"] = _sql_ann_ivfpq(_gate_sf, n_centroids=8,
+                                                  n_probe=3, m=8,
+                                                  n_codes=16, k=10)
     except Exception:
         # centroid/codebook refit needs driver-side access to the sf0.01
         # parquet; if unavailable, degrade to the rows-only check rather

@@ -191,6 +191,47 @@ class TestSimSearch:
                                    m=8, n_codes=16).collect()]
         assert got == want
 
+    def test_ivfpq_served_from_artifact_equals_inline(self, spark, tmp_path):
+        """r5 (VERDICT r4 next #2): build_ann_index persists cell-partitioned
+        codes + meta JSON; ivfpq_topk_served over the artifact must return
+        exactly what the inline ivfpq_topk computes (global codebooks →
+        probe-set-independent codes), for several probe widths."""
+        from elasticsearch_alps_spark.extras.simsearch import (
+            build_ann_index, ivfpq_topk, ivfpq_topk_served, load_ann_index,
+        )
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        qv = emb.filter(F.col("vec_id") == 7).first()["embedding"]
+        idx = build_ann_index(emb, str(tmp_path / "ann"), n_centroids=8,
+                              m=8, n_codes=16)
+        codes, cent, cb, meta = load_ann_index(spark, idx)
+        assert meta["n_vecs"] == emb.count()
+        assert set(codes.columns) == {"id", "ivf_cell", "pq_code"}
+        for n_probe in (1, 3, 8):
+            want = [(r["id"], round(r["cosine"], 9))
+                    for r in ivfpq_topk(emb, qv, k=15, n_centroids=8,
+                                        n_probe=n_probe, m=8,
+                                        n_codes=16).collect()]
+            got = [(r["id"], round(r["cosine"], 9))
+                   for r in ivfpq_topk_served(spark, idx, qv, k=15,
+                                              n_probe=n_probe).collect()]
+            assert got == want, f"n_probe={n_probe}"
+
+    def test_ann_meta_floats_roundtrip_exact(self, spark, tmp_path):
+        # JSON shortest-repr must round-trip the fitted float64 centroids
+        # and codebooks bit-exactly — the serving path's probe selection and
+        # ADC literals depend on it
+        import numpy as np
+        from elasticsearch_alps_spark.extras.simsearch import (
+            build_ann_index, ivf_fit_centroids, load_ann_index,
+            pq_fit_codebooks,
+        )
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        idx = build_ann_index(emb, str(tmp_path / "ann"), n_centroids=8,
+                              m=8, n_codes=16)
+        _, cent, cb, _ = load_ann_index(spark, idx)
+        assert np.array_equal(cent, ivf_fit_centroids(emb, 8))
+        assert np.array_equal(cb, pq_fit_codebooks(emb, m=8, n_codes=16))
+
     def test_lsh_contains_self_and_high_recall_top1(self, spark):
         emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
         qv = emb.filter(F.col("vec_id") == 7).first()["embedding"]

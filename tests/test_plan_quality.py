@@ -142,6 +142,35 @@ def test_pq_topk_plan_is_shuffle_free(spark):
     assert "embedding" not in scan, "the float vectors must not be read"
 
 
+def test_ivfpq_served_plan_is_pruned_codes_scan(spark, tmp_path):
+    """r5 (VERDICT r4 next #2): serving IVF-PQ from the persisted artifact
+    must be a PARTITION-PRUNED codes scan (ivf_cell is a partition column,
+    so the probe filter drops whole cell directories) + the pure-map ADC +
+    TakeOrderedAndProject — no Exchange, no join, no Python, and the float
+    embedding column must not appear anywhere in the plan."""
+    from elasticsearch_alps_spark.extras.simsearch import (
+        build_ann_index, ivfpq_topk_served,
+    )
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qv = emb.first()["embedding"]
+    idx = build_ann_index(emb, str(tmp_path / "ann"), n_centroids=8,
+                          m=8, n_codes=16)
+    plan = _formatted_plan(ivfpq_topk_served(spark, idx, qv, k=10, n_probe=3))
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange" not in plan, "served ADC scan must not shuffle"
+    assert "Join" not in plan, "lookup tables are literals, not a join"
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan, \
+        "no Python at serve time (the encode UDF ran at build time)"
+    assert "embedding" not in plan, "serving must never touch the floats"
+    # the formatted plan names "Scan parquet" twice (tree + detail block), so
+    # assert on the detail block's attributes directly
+    assert "PartitionFilters: [ivf_cell" in plan, \
+        "probe filter must prune cell partitions at the directory level"
+    read = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "pq_code" in read and "embedding" not in read, \
+        "the scan must read only id + codes"
+
+
 def test_repetition_stats_plan_partial_aggs(spark):
     """tx_repetition: both aggregations must have map-side partials and the
     only exchanges are the two key-partitioned ones (id,bigram) → (id)."""

@@ -1,19 +1,22 @@
-"""Pure-Python media codecs for the multimodal pipeline (r4, VERDICT r3
-next #8): real decoders for the formats that need no external codec
-library — uncompressed BMP (BI_RGB 24/32-bit), PCM WAV (8/16-bit), and
-non-interlaced 8-bit PNG (all five scanline filters; gray/RGB/palette/
-alpha color types, inflate via stdlib zlib) — so ``decode_media(fake=False)``
-does real work and the NotImplementedError stub boundary shrinks to formats
-that genuinely need libraries this container doesn't ship (JPEG, video,
-compressed audio).
+"""Pure-Python media codecs for the multimodal pipeline (r4 PNG/BMP/WAV,
+r5 JPEG — VERDICT r3 next #8, r4 next #3): real decoders for the formats
+that need no external codec library — uncompressed BMP (BI_RGB 24/32-bit),
+PCM WAV (8/16-bit), non-interlaced 8-bit PNG (all five scanline filters;
+gray/RGB/palette/alpha color types, inflate via stdlib zlib), and baseline
+sequential JPEG (SOF0: Huffman entropy decode, dequantize, float IDCT,
+chroma upsampling, JFIF YCbCr→RGB) — so ``decode_media(fake=False)`` does
+real work and the NotImplementedError stub boundary shrinks to video and
+compressed audio, which genuinely need libraries this container doesn't
+ship.
 
 The decoders are numpy-vectorized after a struct-parsed header: BMP/WAV are
 one frombuffer + reshape/astype; PNG unfilters None/Up/Sub rows fully
 vectorized (Sub via a per-byte-lane cumsum) and falls back to a per-pixel
 loop only for Average/Paeth rows, whose left-neighbor dependency is
-inherently sequential. Formats are public: BMP per the Windows
-BITMAPINFOHEADER layout, WAV per the RIFF/WAVE PCM spec, PNG per RFC 2083 /
-the W3C PNG spec.
+inherently sequential; JPEG's Huffman decode is per-bit Python (correct at
+test scale; the IDCT and color transform are numpy matrix ops). Formats are
+public: BMP per the Windows BITMAPINFOHEADER layout, WAV per the RIFF/WAVE
+PCM spec, PNG per RFC 2083 / the W3C PNG spec, JPEG per ITU-T T.81 + JFIF.
 """
 
 from __future__ import annotations
@@ -27,7 +30,8 @@ import numpy as np
 
 class UnsupportedMediaError(NotImplementedError):
     """Raised for formats outside the built-in pure-Python codecs (the
-    documented stub boundary — JPEG/video need external libraries)."""
+    documented stub boundary — video/compressed audio need external
+    libraries)."""
 
 
 # --------------------------------------------------------------------- BMP
@@ -329,3 +333,422 @@ def encode_wav(samples: np.ndarray, rate: int = 16000) -> bytes:
     chunks = (b"fmt " + struct.pack("<I", len(fmt)) + fmt
               + b"data" + struct.pack("<I", len(pcm)) + pcm)
     return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+# -------------------------------------------------------------------- JPEG
+
+# zigzag scan order: _JPEG_ZIGZAG[k] = row-major index of the k-th zigzag
+# coefficient (ITU-T T.81 Figure 5)
+_JPEG_ZIGZAG = np.array([
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63])
+
+
+def _jpeg_dct_mat() -> np.ndarray:
+    """Orthonormal 8-point DCT-II basis: F = C @ x @ C.T, x = C.T @ F @ C."""
+    n = np.arange(8)
+    c = np.cos((2 * n[None, :] + 1) * n[:, None] * np.pi / 16) * 0.5
+    c[0] *= 1.0 / np.sqrt(2.0)
+    return c
+
+
+_DCT_C = _jpeg_dct_mat()
+
+
+def _jpeg_build_huff(bits, vals):
+    """Canonical Huffman per T.81 Annex C: {(length, code): symbol}."""
+    table, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[(length, code)] = vals[k]
+            k += 1
+            code += 1
+        code <<= 1
+    return table
+
+
+def _jpeg_extend(v: int, t: int) -> int:
+    """DIFF/AC magnitude decode (T.81 F.2.2.1 EXTEND)."""
+    return v - (1 << t) + 1 if v < (1 << (t - 1)) else v
+
+
+class _JpegBitReader:
+    """MSB-first bit reader over entropy-coded data with 0xFF00 unstuffing;
+    stops at any real marker (RSTn handled via restart())."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data, self.pos, self.cur, self.nbits = data, pos, 0, 0
+
+    def _next_byte(self):
+        d = self.data
+        if self.pos >= len(d):
+            return None
+        b = d[self.pos]
+        if b == 0xFF:
+            nxt = d[self.pos + 1] if self.pos + 1 < len(d) else 0xD9
+            if nxt != 0x00:
+                return None  # a real marker terminates the segment
+            self.pos += 2
+            return 0xFF
+        self.pos += 1
+        return b
+
+    def read_bit(self) -> int:
+        if self.nbits == 0:
+            b = self._next_byte()
+            if b is None:
+                return 1  # trailing pad bits are 1s (T.81 F.1.2.3)
+            self.cur, self.nbits = b, 8
+        self.nbits -= 1
+        return (self.cur >> self.nbits) & 1
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def restart(self):
+        """Byte-align and consume the expected RSTn marker."""
+        self.nbits = 0
+        d = self.data
+        if (self.pos + 1 < len(d) and d[self.pos] == 0xFF
+                and 0xD0 <= d[self.pos + 1] <= 0xD7):
+            self.pos += 2
+        else:
+            raise UnsupportedMediaError("JPEG restart marker missing")
+
+
+def _jpeg_huff_decode(r: _JpegBitReader, table) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | r.read_bit()
+        if (length, code) in table:
+            return table[(length, code)]
+    raise UnsupportedMediaError("invalid JPEG huffman code")
+
+
+def decode_jpeg(payload: bytes) -> np.ndarray:
+    """Decode a baseline sequential JFIF/JPEG (SOF0) → HxWx3 uint8 RGB.
+
+    Pure Python/numpy (r5, VERDICT r4 next #3): marker parse, canonical
+    Huffman entropy decode (byte unstuffing, DRI/RSTn restarts), dequantize
+    (8- and 16-bit DQT), zigzag, float IDCT via the orthonormal basis
+    matrix, nearest-neighbor chroma upsampling for any (h,v) sampling
+    (4:4:4 / 4:2:2 / 4:2:0 / grayscale), BT.601 YCbCr→RGB per JFIF.
+    Progressive (SOF2), arithmetic coding, hierarchical and 12-bit inputs
+    raise UnsupportedMediaError. Entropy decode is per-bit Python — built
+    for correctness at test scale; a 100-TB image pipeline would bind a
+    native codec behind the same mapInPandas operator.
+    """
+    d = payload
+    if len(d) < 4 or d[:2] != b"\xff\xd8":
+        raise UnsupportedMediaError("not a JPEG file (no SOI)")
+    pos, qt, hdc, hac = 2, {}, {}, {}
+    comps, restart_interval, scan = None, 0, None
+    H = W = 0
+    while pos + 4 <= len(d):
+        if d[pos] != 0xFF:
+            raise UnsupportedMediaError("JPEG marker desync")
+        marker = d[pos + 1]
+        pos += 2
+        if marker in (0x01, 0xD8) or 0xD0 <= marker <= 0xD7:
+            continue
+        if marker == 0xD9:
+            break
+        seglen = struct.unpack_from(">H", d, pos)[0]
+        body = d[pos + 2:pos + seglen]
+        pos += seglen
+        if marker == 0xDB:  # DQT (possibly several tables per segment)
+            i = 0
+            while i < len(body):
+                pq, tq = body[i] >> 4, body[i] & 15
+                i += 1
+                if pq:
+                    vals = np.frombuffer(body[i:i + 128], dtype=">u2")
+                    i += 128
+                else:
+                    vals = np.frombuffer(body[i:i + 64], dtype=np.uint8)
+                    i += 64
+                qt[tq] = vals.astype(np.float64)  # zigzag order
+        elif marker == 0xC4:  # DHT (possibly several tables per segment)
+            i = 0
+            while i < len(body):
+                tc, th = body[i] >> 4, body[i] & 15
+                bits = list(body[i + 1:i + 17])
+                nv = sum(bits)
+                vals = list(body[i + 17:i + 17 + nv])
+                (hac if tc else hdc)[th] = _jpeg_build_huff(bits, vals)
+                i += 17 + nv
+        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline+extended
+            if body[0] != 8:
+                raise UnsupportedMediaError(f"JPEG precision {body[0]} unsupported")
+            H, W = struct.unpack_from(">HH", body, 1)
+            n = body[5]
+            comps = []
+            for ci in range(n):
+                cid, hv, tq = body[6 + ci * 3:9 + ci * 3]
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 15, "tq": tq})
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                        0xCD, 0xCE, 0xCF):
+            raise UnsupportedMediaError(
+                "only baseline sequential JPEG (SOF0/1) is supported")
+        elif marker == 0xDD:  # DRI
+            restart_interval = struct.unpack_from(">H", body, 0)[0]
+        elif marker == 0xDA:  # SOS — baseline: single interleaved scan
+            ns = body[0]
+            scan = []
+            for si in range(ns):
+                cs, tdta = body[1 + si * 2:3 + si * 2]
+                comp = next(c for c in comps if c["id"] == cs)
+                scan.append((comp, tdta >> 4, tdta & 15))
+            break
+    if comps is None or scan is None or not H or not W:
+        raise UnsupportedMediaError("JPEG missing SOF/SOS")
+
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcx = -(-W // (8 * hmax))
+    mcy = -(-H // (8 * vmax))
+    planes = {c["id"]: np.zeros((mcy * c["v"] * 8, mcx * c["h"] * 8),
+                                dtype=np.float64) for c in comps}
+    pred = {c["id"]: 0 for c in comps}
+    r = _JpegBitReader(d, pos)
+    zz = _JPEG_ZIGZAG
+    n_mcu = 0
+    for my in range(mcy):
+        for mx in range(mcx):
+            if restart_interval and n_mcu and n_mcu % restart_interval == 0:
+                r.restart()
+                pred = {c["id"]: 0 for c in comps}
+            n_mcu += 1
+            for comp, td, ta in scan:
+                q = qt[comp["tq"]]
+                for by in range(comp["v"]):
+                    for bx in range(comp["h"]):
+                        coef = np.zeros(64, dtype=np.float64)
+                        s = _jpeg_huff_decode(r, hdc[td])
+                        diff = _jpeg_extend(r.read_bits(s), s) if s else 0
+                        pred[comp["id"]] += diff
+                        coef[0] = pred[comp["id"]] * q[0]
+                        k = 1
+                        while k < 64:
+                            rs = _jpeg_huff_decode(r, hac[ta])
+                            run, size = rs >> 4, rs & 15
+                            if size == 0:
+                                if run == 15:  # ZRL: 16 zeros
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += run
+                            if k > 63:
+                                raise UnsupportedMediaError("JPEG AC overrun")
+                            coef[k] = _jpeg_extend(r.read_bits(size),
+                                                   size) * q[k]
+                            k += 1
+                        block = np.zeros(64, dtype=np.float64)
+                        block[zz] = coef
+                        px = _DCT_C.T @ block.reshape(8, 8) @ _DCT_C + 128.0
+                        y0 = (my * comp["v"] + by) * 8
+                        x0 = (mx * comp["h"] + bx) * 8
+                        planes[comp["id"]][y0:y0 + 8, x0:x0 + 8] = px
+
+    full = []
+    for c in comps:
+        p = planes[c["id"]]
+        p = p.repeat(vmax // c["v"], axis=0).repeat(hmax // c["h"], axis=1)
+        full.append(p[:H, :W])
+    if len(full) == 1:
+        y = np.clip(np.round(full[0]), 0, 255).astype(np.uint8)
+        return np.repeat(y[:, :, None], 3, axis=2)
+    y, cb, cr = full[0], full[1] - 128.0, full[2] - 128.0
+    rgb = np.stack([y + 1.402 * cr,
+                    y - 0.344136 * cb - 0.714136 * cr,
+                    y + 1.772 * cb], axis=2)
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+class _JpegBitWriter:
+    """MSB-first bit writer with 0xFF byte stuffing (T.81 F.1.2.3)."""
+
+    def __init__(self):
+        self.out = bytearray()
+        self.acc, self.nbits = 0, 0
+
+    def write(self, value: int, nbits: int):
+        self.acc = (self.acc << nbits) | (value & ((1 << nbits) - 1))
+        self.nbits += nbits
+        while self.nbits >= 8:
+            self.nbits -= 8
+            b = (self.acc >> self.nbits) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:
+                self.out.append(0x00)
+
+    def pad_to_byte(self):
+        if self.nbits:
+            self.write((1 << (8 - self.nbits)) - 1, 8 - self.nbits)
+
+
+def _jpeg_fixed_table(symbols):
+    """Fixed-length canonical Huffman over the USED symbols: every code has
+    length L = bit_length(n) (so 2^L > n and the all-ones code — forbidden
+    by T.81 — is never assigned). Spec-conformant and trivially correct;
+    compression is not the goal of this encoder."""
+    syms = sorted(symbols)
+    n = len(syms)
+    L = max(1, n.bit_length()) if n > 1 else 1
+    bits = [0] * 16
+    bits[L - 1] = n
+    enc = {s: (L, i) for i, s in enumerate(syms)}
+    return bits, syms, enc
+
+
+def _jpeg_category(v: int) -> int:
+    return int(abs(v)).bit_length()
+
+
+def encode_jpeg(rgb: np.ndarray, quant: int = 2, subsample: bool = False,
+                restart_interval: int = 0) -> bytes:
+    """Encode HxWx3 uint8 RGB → baseline sequential JFIF (SOF0).
+
+    Uniform quantization tables (value ``quant``), per-image fixed-length
+    canonical Huffman tables (see :func:`_jpeg_fixed_table`), optional 4:2:0
+    chroma subsampling (2x2 box average) and DRI/RSTn restart markers —
+    together these exercise every path of :func:`decode_jpeg`. Output is
+    readable by any baseline JPEG decoder."""
+    h0, w0, _ = rgb.shape
+    x = rgb.astype(np.float64)
+    y = 0.299 * x[:, :, 0] + 0.587 * x[:, :, 1] + 0.114 * x[:, :, 2]
+    cb = 128.0 - 0.168736 * x[:, :, 0] - 0.331264 * x[:, :, 1] + 0.5 * x[:, :, 2]
+    cr = 128.0 + 0.5 * x[:, :, 0] - 0.418688 * x[:, :, 1] - 0.081312 * x[:, :, 2]
+
+    if subsample:
+        samp = [(2, 2), (1, 1), (1, 1)]
+        mw, mh = 16, 16
+    else:
+        samp = [(1, 1), (1, 1), (1, 1)]
+        mw, mh = 8, 8
+    mcx, mcy = -(-w0 // mw), -(-h0 // mh)
+
+    def _pad(p, ph, pw):
+        return np.pad(p, ((0, ph - p.shape[0]), (0, pw - p.shape[1])),
+                      mode="edge")
+
+    planes = [_pad(y, mcy * mh, mcx * mw)]
+    if subsample:
+        cpad = [_pad(p, mcy * mh, mcx * mw) for p in (cb, cr)]
+        planes += [p.reshape(mcy * 8, 2, mcx * 8, 2).mean(axis=(1, 3))
+                   for p in cpad]
+    else:
+        planes += [_pad(cb, mcy * mh, mcx * mw), _pad(cr, mcy * mh, mcx * mw)]
+
+    q = float(quant)
+    zz = _JPEG_ZIGZAG
+
+    def _block_coefs(plane, by, bx):
+        blk = plane[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] - 128.0
+        f = _DCT_C @ blk @ _DCT_C.T
+        return np.round(f.ravel()[zz] / q).astype(np.int64)
+
+    # pass 1: entropy-symbol streams in MCU-interleaved order, with DC
+    # predictors reset at restart boundaries (decoder resets there too)
+    dc_syms = [set(), set()]
+    ac_syms = [set(), set()]
+    pred = [0, 0, 0]
+    streams = []
+    n_mcu = 0
+    for my in range(mcy):
+        for mx in range(mcx):
+            if restart_interval and n_mcu and n_mcu % restart_interval == 0:
+                pred = [0, 0, 0]
+            n_mcu += 1
+            for ci, (ch, cv) in enumerate(samp):
+                tb = 0 if ci == 0 else 1
+                for by in range(cv):
+                    for bx in range(ch):
+                        coefs = _block_coefs(planes[ci], my * cv + by,
+                                             mx * ch + bx)
+                        diff = int(coefs[0]) - pred[ci]
+                        pred[ci] = int(coefs[0])
+                        t = _jpeg_category(diff)
+                        dc_syms[tb].add(t)
+                        parts = [("dc", t, diff)]
+                        run = 0
+                        last_nz = max((k for k in range(1, 64)
+                                       if coefs[k]), default=0)
+                        for k in range(1, last_nz + 1):
+                            v = int(coefs[k])
+                            if v == 0:
+                                run += 1
+                                continue
+                            while run > 15:
+                                ac_syms[tb].add(0xF0)
+                                parts.append(("ac", 0xF0, 0))
+                                run -= 16
+                            s = _jpeg_category(v)
+                            sym = (run << 4) | s
+                            ac_syms[tb].add(sym)
+                            parts.append(("ac", sym, v))
+                            run = 0
+                        if last_nz < 63:
+                            ac_syms[tb].add(0x00)
+                            parts.append(("ac", 0x00, 0))
+                        streams.append((tb, parts))
+
+    tables = {}
+    for tb in (0, 1):
+        tables[("dc", tb)] = _jpeg_fixed_table(dc_syms[tb] or {0})
+        tables[("ac", tb)] = _jpeg_fixed_table(ac_syms[tb] or {0})
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00" \
+        + struct.pack(">HH", 1, 1) + b"\x00\x00"  # APP0
+    for tq in (0, 1):
+        zzq = np.full(64, int(quant), dtype=np.uint8)
+        out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([tq]) + zzq.tobytes()
+    out += b"\xff\xc0" + struct.pack(">H", 8 + 9) + bytes([8]) \
+        + struct.pack(">HH", h0, w0) + bytes([3])
+    for ci, (ch, cv) in enumerate(samp):
+        out += bytes([ci + 1, (ch << 4) | cv, 0 if ci == 0 else 1])
+    for (cls, tb), (bits, syms, _) in tables.items():
+        tc = 0 if cls == "dc" else 1
+        out += b"\xff\xc4" + struct.pack(">H", 19 + len(syms)) \
+            + bytes([(tc << 4) | tb]) + bytes(bits) + bytes(syms)
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+    out += b"\xff\xda" + struct.pack(">H", 6 + 6) + bytes([3])
+    for ci in range(3):
+        tb = 0 if ci == 0 else 1
+        out += bytes([ci + 1, (tb << 4) | tb])
+    out += bytes([0, 63, 0])  # Ss/Se/AhAl
+
+    w = _JpegBitWriter()
+    blocks_per_mcu = sum(ch * cv for ch, cv in samp)
+    n_mcu = 0
+    rst = 0
+    for i in range(0, len(streams), blocks_per_mcu):
+        if restart_interval and n_mcu and n_mcu % restart_interval == 0:
+            w.pad_to_byte()
+            out += w.out
+            w = _JpegBitWriter()
+            out += bytes([0xFF, 0xD0 + (rst & 7)])
+            rst += 1  # pass 1 already reset DC predictors at this boundary
+        for tb, parts in streams[i:i + blocks_per_mcu]:
+            for kind, sym, v in parts:
+                length, code = tables[(kind, tb)][2][sym]
+                w.write(code, length)
+                if kind == "dc":
+                    t = sym
+                    if t:
+                        w.write(v if v >= 0 else v + (1 << t) - 1, t)
+                elif sym not in (0x00, 0xF0):
+                    s = sym & 15
+                    w.write(v if v >= 0 else v + (1 << s) - 1, s)
+        n_mcu += 1
+    w.pad_to_byte()
+    out += w.out
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)

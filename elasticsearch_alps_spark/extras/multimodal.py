@@ -1,10 +1,10 @@
 """Multimodal column plumbing: image/audio/video as opaque ``binary`` columns
 with typed metadata, processed by Arrow-batched ``mapInPandas`` operators.
 
-Decode (r4): REAL pure-Python decoders handle non-interlaced 8-bit PNG,
-uncompressed BMP and PCM WAV (``extras/codecs.py`` — numpy-vectorized, no
-external codec library), so the NotImplementedError stub boundary covers only
-JPEG / video / compressed audio, which genuinely need libraries this
+Decode (r4, JPEG r5): REAL pure-Python decoders handle baseline JPEG,
+non-interlaced 8-bit PNG, uncompressed BMP and PCM WAV (``extras/codecs.py``
+— no external codec library), so the NotImplementedError stub boundary
+covers only video and compressed audio, which genuinely need libraries this
 container doesn't ship (ADVICE r4: keep this list in sync with the
 ``UnsupportedMediaError`` message and codecs.py).
 ``fake=True`` keeps the deterministic fake decoder (seeded by the bytes'
@@ -58,14 +58,14 @@ def _fake_decode(payload: bytes, kind: str, feat_dim: int):
 
 def _real_decode(payload: bytes, feat_dim: int):
     """Dispatch on magic bytes to the built-in pure-Python codecs
-    (extras/codecs.py): PNG/BMP → pixels + thumbnail feature, PCM WAV →
-    samples + RMS-envelope feature. Anything else (JPEG, video, compressed
-    audio) raises UnsupportedMediaError (subclass of NotImplementedError —
-    the documented stub boundary, covering only formats that need external
+    (extras/codecs.py): JPEG/PNG/BMP → pixels + thumbnail feature, PCM WAV →
+    samples + RMS-envelope feature. Anything else (video, compressed audio)
+    raises UnsupportedMediaError (subclass of NotImplementedError — the
+    documented stub boundary, covering only formats that need external
     libraries)."""
     from elasticsearch_alps_spark.extras.codecs import (
         PNG_MAGIC, UnsupportedMediaError, audio_feature, decode_bmp,
-        decode_png, decode_wav, image_feature,
+        decode_jpeg, decode_png, decode_wav, image_feature,
     )
     if payload[:2] == b"BM":
         rgb = decode_bmp(payload)
@@ -75,14 +75,18 @@ def _real_decode(payload: bytes, feat_dim: int):
         rgb = decode_png(payload)
         h, w = rgb.shape[:2]
         return w, h, 1, 0.0, image_feature(rgb, feat_dim)
+    if payload[:3] == b"\xff\xd8\xff":
+        rgb = decode_jpeg(payload)
+        h, w = rgb.shape[:2]
+        return w, h, 1, 0.0, image_feature(rgb, feat_dim)
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         n, rate, _, samples = decode_wav(payload)
         return 0, 0, n, n * 1000.0 / rate, audio_feature(samples, feat_dim)
     raise UnsupportedMediaError(
-        "only PNG (8-bit non-interlaced), uncompressed BMP and PCM WAV "
-        "decode without external codec libraries (PIL/ffmpeg are not "
-        "installed in this container); pass fake=True for the "
-        "deterministic stub")
+        "only baseline JPEG, 8-bit non-interlaced PNG, uncompressed BMP "
+        "and PCM WAV decode without external codec libraries (PIL/ffmpeg "
+        "are not installed in this container); video and compressed audio "
+        "remain stubbed — pass fake=True for the deterministic stub")
 
 
 def decode_media(df: DataFrame, feat_dim: int = 16, fake: bool = False,

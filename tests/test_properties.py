@@ -263,6 +263,39 @@ def test_wav_malformed_chunks_raise_boundary_error():
         decode_wav(good[:-4])
 
 
+@given(st.integers(min_value=1, max_value=20),
+       st.integers(min_value=1, max_value=20),
+       st.integers(min_value=0, max_value=2**31 - 1),
+       st.integers(min_value=0, max_value=3))
+@settings(max_examples=25, deadline=None)
+def test_jpeg_roundtrip_within_quantization(h, w, seed, restart):
+    """r5: encode→decode of a random RGB image at quant=1 (4:4:4, optional
+    restart markers) stays within a few levels — DCT coefficients are
+    rounded to integers, so per-pixel error is bounded by the IDCT of a
+    ±0.5 coefficient error (measured max 2 on random images; 4 is slack)."""
+    import numpy as np
+    from elasticsearch_alps_spark.extras.codecs import decode_jpeg, encode_jpeg
+    img = np.random.RandomState(seed).randint(0, 256, (h, w, 3), np.uint8)
+    back = decode_jpeg(encode_jpeg(img, quant=1, restart_interval=restart))
+    assert back.shape == img.shape
+    assert np.abs(back.astype(int) - img.astype(int)).max() <= 4
+
+
+@given(st.integers(min_value=1, max_value=20),
+       st.integers(min_value=1, max_value=20),
+       st.integers(min_value=0, max_value=2**31 - 1))
+@settings(max_examples=15, deadline=None)
+def test_jpeg_subsampled_roundtrip_on_gray(h, w, seed):
+    """4:2:0 chroma subsampling is lossless on gray images (chroma planes
+    are flat 128), so the round trip bounds the luma path alone."""
+    import numpy as np
+    from elasticsearch_alps_spark.extras.codecs import decode_jpeg, encode_jpeg
+    g = np.random.RandomState(seed).randint(0, 256, (h, w), np.uint8)
+    img = np.repeat(g[:, :, None], 3, axis=2)
+    back = decode_jpeg(encode_jpeg(img, quant=1, subsample=True))
+    assert np.abs(back.astype(int) - img.astype(int)).max() <= 4
+
+
 @given(st.integers(min_value=1, max_value=11),
        st.integers(min_value=1, max_value=11),
        st.lists(st.integers(min_value=0, max_value=4), min_size=1,

@@ -180,11 +180,15 @@ class QueryConfig:
     # from the hot-term cache) reaches wand_auto_min_df, else the fused
     # exhaustive scorer (r4, VERDICT r3 next #2).
     use_wand: Union[bool, str] = False
-    # Calibrated from the measured crossover (BENCH/BASELINE.md r3 table,
-    # tools/wand_crossover.py): df ≈ 6×10⁴ loses 0.77–0.83×, df ≈ 10⁴–10⁵ is
-    # parity (0.95×), df ≈ 10⁶ wins 1.23–1.48× — so switch just above the
-    # parity band. At 100-TB scale every common token is far past this.
-    wand_auto_min_df: int = 200_000
+    # The crossover df is a MACHINE property (Python bucket-decode overhead
+    # vs JVM codegen scan speed). None (default) self-calibrates once per
+    # process from a micro-probe anchored to the dev box's measured
+    # crossover (queries/calibrate.py — r5, VERDICT r4 next #4); an int
+    # pins it (the r3-measured dev-box value was 200_000: df ≈ 6×10⁴ loses
+    # 0.77–0.83×, 10⁴–10⁵ parity, 10⁶ wins 1.23–1.48×). At 100-TB scale
+    # every common token is far past either. Both scorers are result-
+    # identical, so this knob is performance-only.
+    wand_auto_min_df: Optional[int] = None
     # phrase phase-2: broadcast the candidate doc_id set when the candidate
     # upper bound (min term df) is at most this many rows (~8 B/row → ≤40 MB);
     # above it the semi-join shuffles instead of broadcasting

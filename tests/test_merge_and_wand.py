@@ -210,6 +210,37 @@ class TestWandAuto:
         eng.match_query("parse json").collect()
         assert eng.last_scorer == "driver"
 
+    def test_auto_default_self_calibrates(self, spark, built_index):
+        # r5 (VERDICT r4 next #4): wand_auto_min_df=None (the new default)
+        # derives the threshold from the per-machine micro-probe, clamped
+        # to [20k, 2M]; on this small corpus every df is far below any
+        # clamped value, so auto must pick the non-WAND path — and the
+        # probe result must be cached process-wide
+        from elasticsearch_alps_spark.queries import calibrate
+        eng = SearchEngine(spark, built_index.root,
+                           QueryConfig(use_wand="auto",
+                                       driver_score_max_postings=0))
+        assert eng.qcfg.wand_auto_min_df is None
+        eng.match_query("def").collect()
+        assert eng.last_scorer == "fused"
+        got = calibrate._PROBE_CACHE["min_df"]
+        assert calibrate.MIN_DF_FLOOR <= got <= calibrate.MIN_DF_CEIL
+        assert calibrate.calibrated_min_df(spark) == got  # cached, no re-probe
+
+    def test_calibration_scales_with_probe_ratio(self, spark, monkeypatch):
+        # relatively slower Python (ratio up) must RAISE the crossover
+        # threshold; relatively faster must lower it; clamps bound both
+        from elasticsearch_alps_spark.queries import calibrate
+        for ratio, expect in [
+                (calibrate.REF_PROBE_RATIO, calibrate.REF_CROSSOVER_DF),
+                (calibrate.REF_PROBE_RATIO * 4,
+                 calibrate.REF_CROSSOVER_DF * 4),
+                (calibrate.REF_PROBE_RATIO * 1000, calibrate.MIN_DF_CEIL),
+                (calibrate.REF_PROBE_RATIO / 1000, calibrate.MIN_DF_FLOOR)]:
+            monkeypatch.setattr(calibrate, "probe_ratio", lambda s, r=ratio: r)
+            assert calibrate.calibrated_min_df(spark, force=True) == expect
+        calibrate._PROBE_CACHE.clear()  # drop monkeypatched values
+
     def test_auto_rare_term_outside_hot_cache_not_misrouted(self, spark,
                                                             built_index):
         # ADVICE r4: with a hot-term cache too small to hold the vocabulary

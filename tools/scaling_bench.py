@@ -65,6 +65,13 @@ def main() -> None:
         f"local[{n_small}]_query_p50_ms": small["query_p50_ms"],
         f"local[{n_big}]_query_p50_ms": big["query_p50_ms"],
     }
+    # per-type serving-path p50s for BOTH legs (r5, VERDICT r4 next #6:
+    # the north-rule evidence was indexing-only; the query path's N→4N
+    # behavior goes on record too)
+    for qtype in ("match", "phrase", "fuzzy", "wand"):
+        key = f"{qtype}_p50"
+        report[f"local[{n_small}]_{key}_s"] = small["queries"].get(key)
+        report[f"local[{n_big}]_{key}_s"] = big["queries"].get(key)
     print(json.dumps(report, indent=2))
     # raw machine-readable log; the curated tables live in BENCH/BASELINE.md
     log = os.path.join(REPO, "BENCH", "runs.jsonl")

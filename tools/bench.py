@@ -39,6 +39,7 @@ SCRIPTS = {
     "wand": "tools/wand_crossover.py",
     "memo": "tools/analyzer_memo_bench.py",
     "anchor": "tools/calibrate_anchor.py",
+    "skew": "tools/skew_stress.py",
 }
 
 

@@ -1,0 +1,198 @@
+#!/usr/bin/env python
+"""Adversarial-skew stress of the build + merge paths (r5, VERDICT r4
+next #5): a corpus where ONE term appears in 100% of the docs — the worst
+df skew a term-keyed layout can see.
+
+The claim under test is the builder/merger's doc_id-range salting
+(builder.py packed-block build, merger.py term-keyed shuffle): the
+100%-df term's postings are range-split across buckets, so no single task
+should exceed ~2x the median task duration (or peak memory) in any heavy
+stage of the packed build or the merge, and merge ≡ rebuild stays exact.
+
+Evidence is read from Spark's own task metrics (the /api/v1 status REST of
+the live UI): per-stage executorRunTime / peakExecutionMemory quantiles
+(p50, max) for every stage completed during each phase. Heavy stage =
+>=8 tasks and median runtime >=200 ms; trivial stages are reported but not
+held to the bound (a 5 ms median makes the ratio pure scheduling noise).
+
+Env: ALPS_SKEW_DOCS (default 1000000), SPARK_GRAFT_CPUS (default 32).
+Appends one JSON row to BENCH/runs.jsonl (also via
+``python -m tools.bench --suite skew``).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+import urllib.request
+from datetime import date
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+HOT = "omnipresent"
+
+
+def _get(url: str):
+    with urllib.request.urlopen(url, timeout=30) as r:
+        return json.load(r)
+
+
+class StageMetrics:
+    """Snapshot-diff reader over the status REST API."""
+
+    def __init__(self, spark):
+        self.base = spark.sparkContext.uiWebUrl + "/api/v1/applications"
+        self.app = _get(self.base)[0]["id"]
+        self.seen = set()
+
+    def phase(self, name: str) -> list:
+        """Stages completed since the previous call, with task quantiles."""
+        stages = _get(f"{self.base}/{self.app}/stages?status=COMPLETE")
+        out = []
+        for st in stages:
+            key = (st["stageId"], st["attemptId"])
+            if key in self.seen:
+                continue
+            self.seen.add(key)
+            try:
+                q = _get(f"{self.base}/{self.app}/stages/{st['stageId']}"
+                         f"/{st['attemptId']}/taskSummary"
+                         f"?quantiles=0.0,0.5,1.0")
+            except Exception:
+                continue
+            run = q.get("executorRunTime", [0, 0, 0])
+            mem = q.get("peakExecutionMemory", [0, 0, 0])
+            out.append({
+                "phase": name, "stage": st["stageId"],
+                "n_tasks": st["numCompleteTasks"],
+                "run_med_ms": run[1], "run_max_ms": run[2],
+                "run_ratio": round(run[2] / run[1], 2) if run[1] else None,
+                "mem_med": mem[1], "mem_max": mem[2],
+                "mem_ratio": round(mem[2] / mem[1], 2) if mem[1] else None,
+                "name": st["name"].split("\n")[0][:60],
+            })
+        return out
+
+
+def main() -> None:
+    n_docs = int(os.environ.get("ALPS_SKEW_DOCS", "1000000"))
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+    from pyspark.sql import SparkSession, Window, functions as F
+    from elasticsearch_alps_spark.config import IndexConfig, QueryConfig
+    from elasticsearch_alps_spark.fixtures import documents_df_distributed
+    from elasticsearch_alps_spark.indexing.builder import build_index
+    from elasticsearch_alps_spark.merging.merger import merge_indexes
+    from elasticsearch_alps_spark.queries.engine import SearchEngine
+    from elasticsearch_alps_spark.session import ship_package
+
+    spark = (SparkSession.builder.master(f"local[{cpus}]")
+             .appName("alps-skew-stress")
+             .config("spark.sql.shuffle.partitions", str(cpus))
+             .config("spark.sql.adaptive.enabled", "true")
+             .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+             .config("spark.ui.enabled", "true")  # task metrics source
+             .config("spark.ui.retainedStages", "5000")
+             .config("spark.driver.memory",
+                     os.environ.get("ALPS_BENCH_DRIVER_MEM", "24g"))
+             .getOrCreate())
+    spark.sparkContext.setLogLevel("ERROR")
+    ship_package(spark)
+    out = tempfile.mkdtemp(prefix="alps_skew_")
+    report = {"date": str(date.today()), "kind": "skew_stress",
+              "n_docs": n_docs, "cpus": cpus, "hot_term": HOT}
+    try:
+        # every doc gets the hot term appended -> df == n_docs (100%)
+        src = os.path.join(out, "src")
+        (documents_df_distributed(spark, n_docs, seed=42)
+         .withColumn("content", F.concat(F.col("content"), F.lit(f" {HOT}")))
+         .write.parquet(src))
+        docs = spark.read.parquet(src)
+        metrics = StageMetrics(spark)
+        metrics.phase("corpus")  # absorb generation stages
+
+        cfg = IndexConfig()
+        rn = F.row_number().over(Window.orderBy("repo", "path", "commit")) - 1
+        ranked = docs.withColumn("rn", rn)
+        half = n_docs // 2
+        a_dir, b_dir = os.path.join(out, "a"), os.path.join(out, "b")
+        m_dir, f_dir = os.path.join(out, "merged"), os.path.join(out, "full")
+
+        t0 = time.time()
+        full = build_index(spark, docs, f_dir, cfg, shards=cpus)
+        report["build_full_sec"] = round(time.time() - t0, 1)
+        build_stages = metrics.phase("build_full")
+
+        build_index(spark, ranked.filter(F.col("rn") < half).drop("rn"),
+                    a_dir, cfg, shards=cpus)
+        build_index(spark, ranked.filter(F.col("rn") >= half).drop("rn"),
+                    b_dir, cfg, shards=cpus)
+        metrics.phase("build_halves")  # not held to the bound (scaffolding)
+
+        t0 = time.time()
+        merged = merge_indexes(spark, [a_dir, b_dir], m_dir, cfg, shards=cpus)
+        t_merge = time.time() - t0
+        report["merge_sec"] = round(t_merge, 1)
+        report["merge_docs_per_sec"] = round(n_docs / t_merge, 1)
+        merge_stages = metrics.phase("merge")
+
+        # ---- the skew bound: heavy stages only ----
+        def heavy(stages):
+            return [s for s in stages
+                    if s["n_tasks"] >= 8 and (s["run_med_ms"] or 0) >= 200]
+
+        graded = heavy(build_stages) + heavy(merge_stages)
+        report["heavy_stages"] = graded
+        worst = max(graded, key=lambda s: s["run_ratio"] or 0, default=None)
+        report["worst_run_ratio"] = worst["run_ratio"] if worst else None
+        report["worst_stage"] = (f"{worst['phase']}#{worst['stage']} "
+                                 f"{worst['name']}") if worst else None
+        report["skew_bound_ok"] = bool(graded) and all(
+            (s["run_ratio"] or 0) <= 2.0 for s in graded)
+
+        # ---- merge ≡ rebuild stays exact under 100% df ----
+        ms, fs = merged.read_stats(), full.read_stats()
+        stats_ok = True
+        for field in ms["fields"]:
+            m, f = ms["fields"][field], fs["fields"][field]
+            if m.get("alias") or f.get("alias"):
+                continue
+            for k in ("n_docs", "cf_total"):
+                if m[k] != f[k]:
+                    stats_ok = False
+                    report[f"stats_mismatch_{field}_{k}"] = [m[k], f[k]]
+            if abs(m["avgdl"] - f["avgdl"]) > 1e-9 * max(1.0, f["avgdl"]):
+                stats_ok = False
+        report["merge_stats_exact"] = stats_ok
+
+        em = SearchEngine(spark, merged.root, QueryConfig())
+        ef = SearchEngine(spark, full.root, QueryConfig())
+        parity = True
+        for q in (HOT, "def", f"{HOT} parse json"):
+            got = sorted(((r["doc_id"], round(r["score"], 9))
+                          for r in em.match_query(q).collect()),
+                         key=lambda t: (-t[1], t[0]))
+            want = sorted(((r["doc_id"], round(r["score"], 9))
+                           for r in ef.match_query(q).collect()),
+                          key=lambda t: (-t[1], t[0]))
+            if got != want:
+                parity = False
+                report[f"parity_fail_{q}"] = {"got": got[:3], "want": want[:3]}
+        report["merge_query_parity"] = parity
+
+        print(json.dumps(report, indent=2))
+        log = os.path.join(REPO, "BENCH", "runs.jsonl")
+        with open(log, "a") as f:
+            f.write(json.dumps(report) + "\n")
+    finally:
+        spark.stop()
+        shutil.rmtree(out, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -97,9 +97,10 @@ def _bench_in(worktree: str, env_over: dict) -> dict:
     return _tail_json(p.stdout)
 
 
-def run_aba(ref: str, trials: int, sf_dir: str, cpus: int) -> dict:
-    """Interleaved ABA between PINNED worktrees of HEAD and `ref`."""
-    head = subprocess.run(["git", "rev-parse", "HEAD"], cwd=REPO,
+def run_aba(ref: str, trials: int, sf_dir: str, cpus: int,
+            base: str = "HEAD") -> dict:
+    """Interleaved ABA between PINNED worktrees of `base` and `ref`."""
+    head = subprocess.run(["git", "rev-parse", base], cwd=REPO,
                           capture_output=True, text=True,
                           check=True).stdout.strip()
     arms = {}
@@ -156,6 +157,8 @@ def main() -> None:
     ap.add_argument("--sf", default="/root/testdata/sf0.01",
                     help="gates: scale-factor dir")
     ap.add_argument("--ref", default=None, help="aba: reference commit")
+    ap.add_argument("--base", default="HEAD",
+                    help="aba: commit for the A arm (default HEAD)")
     ap.add_argument("--trials", type=int, default=3, help="aba: legs per arm")
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.1",
                     help="aba: bench input dir")
@@ -168,7 +171,8 @@ def main() -> None:
     elif args.suite == "aba":
         if not args.ref:
             ap.error("--suite aba requires --ref <commit>")
-        report = run_aba(args.ref, args.trials, args.sf_dir, args.cpus)
+        report = run_aba(args.ref, args.trials, args.sf_dir, args.cpus,
+                         args.base)
     else:
         report = run_script(args.suite)
     report["wall_sec"] = round(time.time() - t0, 1)

@@ -1080,9 +1080,14 @@ SELECT id, n_chars, n_tokens, n_bpe_tokens,
        ROUND(punct_ratio, 6) AS punct_ratio,
        ROUND(stop_ratio, 6) AS stopword_ratio,
        ROUND(mean_tok, 6) AS mean_token_len,
-       ROUND(least(n_tokens::DOUBLE / 20.0, 1.0) * 0.4
+       -- UNROUNDED like the Spark side (r5): the sum is bit-identical
+       -- across engines (same IEEE ops, left-assoc), but DuckDB ROUND
+       -- scales by 10^6 in double first and flips values half-an-ulp
+       -- below a decimal half (found by the sf0.1 gate run, doc 1900);
+       -- see extras/textstats.py quality_score comment
+       least(n_tokens::DOUBLE / 20.0, 1.0) * 0.4
              + (1.0 - least(punct_ratio * 2.0, 1.0)) * 0.3
-             + least(mean_tok / 5.0, 1.0) * 0.3, 6) AS quality_score
+             + least(mean_tok / 5.0, 1.0) * 0.3 AS quality_score
 FROM d ORDER BY id"""
     # mirrors extras/textstats.language_id exactly: marker counts per
     # language, winner = max by (count, tie=-ord(first letter), lang) —

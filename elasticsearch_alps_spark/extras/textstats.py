@@ -65,7 +65,21 @@ def text_stats(df: DataFrame, text_col: str = "text",
         F.round(punct_ratio, 6).alias("punct_ratio"),
         F.round(stop_ratio, 6).alias("stopword_ratio"),
         F.round(mean_tok, 6).alias("mean_token_len"),
-        F.round(quality, 6).alias("quality_score"))
+        # UNROUNDED (r5): quality is a product-sum of non-dyadic floats —
+        # "generic reals" — and rounding such a value to k decimals is the
+        # one operation Spark and DuckDB genuinely disagree on: Spark
+        # rounds the EXACT binary expansion (BigDecimal HALF_UP) while
+        # DuckDB's ROUND/printf/DECIMAL-cast all scale by 10^k in double
+        # first, so a value half-an-ulp below a decimal half flips up
+        # (~1e-4 hit rate per value; first seen as 1/5000 docs at sf0.1,
+        # doc 1900: 0.94281249999999994… → 0.942812 vs 0.942813). The
+        # expression itself IS bit-identical across engines (same IEEE
+        # ops, same left-assoc order — this module's whole oracle
+        # discipline), so the fix is to not round at all. The ratio
+        # columns above stay rounded: they are small-denominator
+        # rationals, which sit ≥ 1/(2·denominator) away from any decimal
+        # half — the artifact window (~1e-16 relative) is unreachable.
+        quality.alias("quality_score"))
 
 
 def language_id(df: DataFrame, text_col: str = "text",

@@ -446,6 +446,18 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     d = payload
     if len(d) < 4 or d[:2] != b"\xff\xd8":
         raise UnsupportedMediaError("not a JPEG file (no SOI)")
+    try:
+        return _decode_jpeg_inner(d)
+    except UnsupportedMediaError:
+        raise
+    except (struct.error, KeyError, IndexError, ValueError, StopIteration,
+            TypeError, ZeroDivisionError) as e:
+        # malformed streams must raise the documented boundary type, not a
+        # raw parse error (the decode_wav lesson, ADVICE r4)
+        raise UnsupportedMediaError(f"malformed JPEG: {type(e).__name__}: {e}")
+
+
+def _decode_jpeg_inner(d: bytes) -> np.ndarray:
     pos, qt, hdc, hac = 2, {}, {}, {}
     comps, restart_interval, scan = None, 0, None
     H = W = 0

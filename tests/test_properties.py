@@ -281,6 +281,32 @@ def test_jpeg_roundtrip_within_quantization(h, w, seed, restart):
     assert np.abs(back.astype(int) - img.astype(int)).max() <= 4
 
 
+def test_jpeg_mutated_streams_stay_inside_boundary_type():
+    """Byte-mutation fuzz (seeded): a malformed JPEG must either decode to
+    SOMETHING or raise UnsupportedMediaError — never a raw
+    KeyError/IndexError/struct.error escaping the documented boundary
+    (the decode_wav lesson, ADVICE r4; 2000-stream sweep ran at dev
+    time, this pins a 200-stream seeded subset)."""
+    import random
+
+    import numpy as np
+
+    from elasticsearch_alps_spark.extras.codecs import (
+        UnsupportedMediaError, decode_jpeg, encode_jpeg,
+    )
+    img = np.random.RandomState(0).randint(0, 256, (10, 14, 3), np.uint8)
+    good = encode_jpeg(img, quant=1)
+    rng = random.Random(2)
+    for _ in range(200):
+        b = bytearray(good)
+        for _ in range(rng.randint(1, 6)):
+            b[rng.randrange(2, len(b))] = rng.randrange(256)
+        try:
+            decode_jpeg(bytes(b))
+        except UnsupportedMediaError:
+            pass
+
+
 @given(st.integers(min_value=1, max_value=20),
        st.integers(min_value=1, max_value=20),
        st.integers(min_value=0, max_value=2**31 - 1))

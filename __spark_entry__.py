@@ -450,6 +450,107 @@ SELECT id, ROUND(({p['dot_sum']}) / (sqrt({p['n2_sum']}) * {qn!r}), 5) AS cosine
 FROM enc ORDER BY cosine DESC, id ASC LIMIT {k}"""
 
 
+def _residual_oracle_fit(sf_dir: str, n_centroids: int, m: int, n_codes: int,
+                         iters: int, sample: int, seed: int):
+    """Refit centroids + RESIDUAL codebooks from the same ordered rows with
+    the same numpy ops/order as pq_fit_codebooks_residual → bit-equal."""
+    import duckdb
+    import numpy as np
+    from elasticsearch_alps_spark.extras.simsearch import _seq_dot, kmeans_fit
+    cent = _ivf_oracle_centroids(sf_dir, n_centroids, iters, sample, seed)
+    rows = duckdb.sql(
+        f"SELECT embedding FROM read_parquet('{sf_dir}/embeddings.parquet') "
+        f"ORDER BY vec_id LIMIT {sample}").fetchall()
+    x = np.asarray([list(r[0]) for r in rows], dtype=np.float64)
+    acc = np.zeros((x.shape[0], cent.shape[0]), dtype=np.float64)
+    for i in range(x.shape[1]):
+        diff = x[:, i, None] - cent[None, :, i]
+        acc += diff * diff
+    res = x - cent[acc.argmin(axis=1)]
+    dsub = x.shape[1] // m
+    cb = np.stack([kmeans_fit(res[:, j * dsub:(j + 1) * dsub], n_codes,
+                              iters, seed + j) for j in range(m)])
+    q = [float(v) for v in duckdb.sql(
+        f"SELECT embedding FROM read_parquet('{sf_dir}/embeddings.parquet') "
+        f"WHERE vec_id = 0").fetchone()[0]]
+    qn = float(np.sqrt(_seq_dot(q, q)))
+    return cent, cb, q, qn
+
+
+def _sql_ann_ivfpq_res(sf_dir: str, n_centroids: int, n_probe: int, m: int,
+                       n_codes: int, k: int, iters: int = 5,
+                       sample: int = 10_000, seed: int = 42) -> str:
+    """Residual IVF-PQ oracle (r5): assignment → residual vector (ONE
+    nested centroid literal, computed once per row) → per-subspace codes
+    (left-assoc squared-diff chains over the residual, matching
+    pq_encode_residual's column-wise accumulation) → residual ADC with
+    per-cell qc/‖c‖²/cross lookup literals, grouped exactly like
+    pq_topk_residual's expression tree."""
+    from elasticsearch_alps_spark.extras.simsearch import _seq_dot
+    cent, cb, q, qn = _residual_oracle_fit(sf_dir, n_centroids, m, n_codes,
+                                           iters, sample, seed)
+    dim = cent.shape[1]
+    dsub = dim // m
+    d = [_seq_dot([float(a) - float(b) for a, b in zip(c, q)],
+                  [float(a) - float(b) for a, b in zip(c, q)])
+         for c in cent]
+    probe = sorted(range(len(d)), key=lambda i: (d[i], i))[:n_probe]
+    vdists = ", ".join(f"({_seq_sqdist('e.embedding', cent[c], dim)})"
+                       for c in range(n_centroids))
+    cent_nested = "[" + ", ".join(_arr(c) for c in cent) + "]"
+    # per-subspace code columns over the residual r
+    dl_cols = []
+    for j in range(m):
+        dls = []
+        for c in range(n_codes):
+            terms = [f"(r[{j * dsub + i + 1}] - {repr(float(cb[j, c, i]))})"
+                     f" * (r[{j * dsub + i + 1}] - {repr(float(cb[j, c, i]))})"
+                     for i in range(dsub)]
+            dls.append("(" + " + ".join(terms) + ")")
+        dl_cols.append("[" + ", ".join(dls) + f"] AS dl{j}")
+    code_cols = ", ".join(
+        f"(list_position(dl{j}, list_min(dl{j})) - 1) AS c{j}"
+        for j in range(m))
+    qc_arr = _arr([_seq_dot(q, cent[c]) for c in range(n_centroids)])
+    c2_arr = _arr([_seq_dot(cent[c], cent[c]) for c in range(n_centroids)])
+    dot_tbls = [_arr([_seq_dot(q[j * dsub:(j + 1) * dsub], cb[j, c])
+                      for c in range(n_codes)]) for j in range(m)]
+    nrm_tbls = [_arr([_seq_dot(cb[j, c], cb[j, c]) for c in range(n_codes)])
+                for j in range(m)]
+    cross_tbls = ["[" + ", ".join(
+        _arr([_seq_dot(cent[c][j * dsub:(j + 1) * dsub], cb[j, kk])
+              for kk in range(n_codes)]) for c in range(n_centroids)) + "]"
+        for j in range(m)]
+    dot_sum = " + ".join(f"({dot_tbls[j]})[c{j} + 1]" for j in range(m))
+    nrm_sum = " + ".join(f"({nrm_tbls[j]})[c{j} + 1]" for j in range(m))
+    cross_sum = " + ".join(f"({cross_tbls[j]})[cell + 1][c{j} + 1]"
+                           for j in range(m))
+    cells = ", ".join(str(c) for c in probe)
+    return f"""
+WITH va AS (
+  SELECT e.vec_id::BIGINT AS id, e.embedding,
+         (list_position([{vdists}], list_min([{vdists}])) - 1) AS cell
+  FROM embeddings e
+),
+res AS (
+  SELECT id, cell,
+         list_transform(generate_series(1, {dim}),
+             i -> embedding[i]::DOUBLE - ({cent_nested})[cell + 1][i]) AS r
+  FROM va WHERE cell IN ({cells})
+),
+dl AS (
+  SELECT id, cell, {", ".join(dl_cols)} FROM res
+),
+enc AS (
+  SELECT id, cell, {code_cols} FROM dl
+)
+SELECT id,
+       ROUND((({qc_arr})[cell + 1] + ({dot_sum}))
+             / (sqrt(({c2_arr})[cell + 1] + 2.0 * ({cross_sum})
+                     + ({nrm_sum})) * {qn!r}), 5) AS cosine
+FROM enc ORDER BY cosine DESC, id ASC LIMIT {k}"""
+
+
 def _sql_ann_ivf(sf_dir: str, n_centroids: int, n_probe: int, k: int,
                  iters: int = 5, sample: int = 10_000, seed: int = 42) -> str:
     cent = _ivf_oracle_centroids(sf_dir, n_centroids, iters, sample, seed)
@@ -725,6 +826,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return (hits.withColumn("cosine", F.round("cosine", 5))
                     .orderBy(F.desc("cosine"), F.asc("id")).limit(10))
     q["sx_ann_ivfpq_served"] = ann_ivfpq_served
+
+    def ann_ivfpq_res(s, sf):
+        # r5: FAISS-default RESIDUAL encoding — codebooks fit on
+        # v − centroid[cell], per-cell ADC lookup literals; served from the
+        # persisted artifact like sx_ann_ivfpq_served
+        import hashlib
+        import tempfile
+        e = s.read.parquet(os.path.join(sf, "embeddings.parquet"))
+        qv = e.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
+        out = os.path.join(tempfile.gettempdir(), "alps_ann_gate_res_"
+                           + hashlib.md5(sf.encode()).hexdigest()[:10])
+        simsearch.build_ann_index(e, out, n_centroids=8, m=8, n_codes=16,
+                                  residual=True)
+        hits = simsearch.ivfpq_topk_served(s, out, qv, k=_BIG, n_probe=3)
+        return (hits.withColumn("cosine", F.round("cosine", 5))
+                    .orderBy(F.desc("cosine"), F.asc("id")).limit(10))
+    q["sx_ann_ivfpq_res"] = ann_ivfpq_res
 
     # ---- text analysis ----
     q["tx_text_stats"] = lambda s, sf: textstats.text_stats(
@@ -1004,6 +1122,9 @@ ORDER BY id_a, id_b"""
         o["sx_ann_ivfpq_served"] = _sql_ann_ivfpq(_gate_sf, n_centroids=8,
                                                   n_probe=3, m=8,
                                                   n_codes=16, k=10)
+        o["sx_ann_ivfpq_res"] = _sql_ann_ivfpq_res(_gate_sf, n_centroids=8,
+                                                   n_probe=3, m=8,
+                                                   n_codes=16, k=10)
     except Exception:
         # centroid/codebook refit needs driver-side access to the sf0.01
         # parquet; if unavailable, degrade to the rows-only check rather

@@ -216,6 +216,98 @@ class TestSimSearch:
                                               n_probe=n_probe).collect()]
             assert got == want, f"n_probe={n_probe}"
 
+    def _clustered_emb(self, spark, n_clusters=6, per=30, dim=16, sep=20.0,
+                       noise=0.6, seed=3):
+        # well-separated clusters: the regime residual PQ exists for —
+        # residuals are small around each centroid, so the same code
+        # budget quantizes far finer than global PQ
+        import numpy as np
+        rng = np.random.RandomState(seed)
+        protos = rng.standard_normal((n_clusters, dim)) * sep
+        rows = []
+        for i in range(n_clusters * per):
+            v = protos[i % n_clusters] + rng.standard_normal(dim) * noise
+            rows.append((i, [float(x) for x in v]))
+        return spark.createDataFrame(rows,
+                                     "vec_id long, embedding array<float>")
+
+    def test_residual_adc_equals_cosine_of_reconstruction(self, spark):
+        """r5 residual IVF-PQ: the ADC score must equal the exact cosine
+        between the query and c + r̂ (the per-cell reconstruction) —
+        per row against a driver-side recomputation."""
+        import numpy as np
+        from elasticsearch_alps_spark.extras.simsearch import (
+            _seq_dot, ivf_assign, ivf_fit_centroids, pq_encode_residual,
+            pq_fit_codebooks_residual, pq_topk_residual,
+        )
+        emb = self._clustered_emb(spark)
+        qv = emb.filter(F.col("vec_id") == 4).first()["embedding"]
+        cent = ivf_fit_centroids(emb, 6)
+        cbr = pq_fit_codebooks_residual(emb, cent, m=4, n_codes=8)
+        enc = pq_encode_residual(ivf_assign(emb, cent), cent, cbr)
+        info = {r["vec_id"]: (r["ivf_cell"], list(r["pq_code"]))
+                for r in enc.select("vec_id", "ivf_cell", "pq_code").collect()}
+        got = {r["id"]: r["cosine"]
+               for r in pq_topk_residual(enc, qv, cent, cbr, k=1000).collect()}
+        q = [float(v) for v in qv]
+        qn = float(np.sqrt(_seq_dot(q, q)))
+        dsub = len(q) // 4
+        for vid, (cell, code) in info.items():
+            recon = np.concatenate([cbr[j][code[j]] for j in range(4)]) \
+                + cent[cell]
+            want = _seq_dot(q, list(recon)) / (
+                np.sqrt(_seq_dot(list(recon), list(recon))) * qn)
+            assert got[vid] == pytest.approx(want, abs=1e-9)
+
+    def test_residual_beats_global_pq_on_clustered_data(self, spark):
+        """The point of residual encoding: on clustered data the same
+        (m, n_codes) budget recalls far more of the exact top-k."""
+        from elasticsearch_alps_spark.extras.simsearch import (
+            brute_force_topk, ivf_assign, ivf_fit_centroids, pq_encode,
+            pq_encode_residual, pq_fit_codebooks, pq_fit_codebooks_residual,
+            pq_topk, pq_topk_residual,
+        )
+        emb = self._clustered_emb(spark).cache()
+        cent = ivf_fit_centroids(emb, 6)
+        cb_g = pq_fit_codebooks(emb, m=4, n_codes=8)
+        cb_r = pq_fit_codebooks_residual(emb, cent, m=4, n_codes=8)
+        assigned = ivf_assign(emb, cent).cache()
+        enc_g = pq_encode(assigned, cb_g).cache()
+        enc_r = pq_encode_residual(assigned, cent, cb_r).cache()
+        hits_g = hits_r = tot = 0
+        for qid in (0, 7, 31, 64, 99):
+            qv = emb.filter(F.col("vec_id") == qid).first()["embedding"]
+            exact = {r["id"] for r in brute_force_topk(emb, qv, 10).collect()}
+            g = {r["id"] for r in pq_topk(enc_g, qv, cb_g, 10).collect()}
+            r_ = {r["id"] for r in pq_topk_residual(enc_r, qv, cent, cb_r,
+                                                    10).collect()}
+            hits_g += len(g & exact)
+            hits_r += len(r_ & exact)
+            tot += 10
+        emb.unpersist(); assigned.unpersist()
+        enc_g.unpersist(); enc_r.unpersist()
+        assert hits_r / tot >= hits_g / tot + 0.2, \
+            f"residual {hits_r/tot} should clearly beat global {hits_g/tot}"
+
+    def test_residual_served_artifact_roundtrip(self, spark, tmp_path):
+        from elasticsearch_alps_spark.extras.simsearch import (
+            build_ann_index, ivf_assign, ivf_fit_centroids, load_ann_index,
+            ivfpq_topk_served, pq_encode_residual, pq_topk_residual,
+        )
+        emb = self._clustered_emb(spark)
+        qv = emb.filter(F.col("vec_id") == 4).first()["embedding"]
+        idx = build_ann_index(emb, str(tmp_path / "r"), n_centroids=6,
+                              m=4, n_codes=8, residual=True)
+        codes, cent, cbr, meta = load_ann_index(spark, idx)
+        assert meta["residual"] is True
+        # served over ALL cells must equal the inline residual ADC scan
+        want = [(r["id"], round(r["cosine"], 9)) for r in pq_topk_residual(
+            pq_encode_residual(ivf_assign(emb, cent), cent, cbr),
+            qv, cent, cbr, k=15).collect()]
+        got = [(r["id"], round(r["cosine"], 9)) for r in ivfpq_topk_served(
+            spark, idx, qv, k=15, n_probe=6).collect()]
+        assert got == want
+
     def test_ann_meta_floats_roundtrip_exact(self, spark, tmp_path):
         # JSON shortest-repr must round-trip the fitted float64 centroids
         # and codebooks bit-exactly — the serving path's probe selection and

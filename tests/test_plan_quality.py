@@ -171,6 +171,26 @@ def test_ivfpq_served_plan_is_pruned_codes_scan(spark, tmp_path):
         "the scan must read only id + codes"
 
 
+def test_ivfpq_residual_served_plan_is_pruned_codes_scan(spark, tmp_path):
+    """r5 residual variant: the per-cell scalars and cross tables are
+    literal (possibly nested) arrays indexed by the stored cell/codes —
+    the plan shape must stay identical to the global-codebook serve:
+    pruned codes scan + pure map + TakeOrderedAndProject."""
+    from elasticsearch_alps_spark.extras.simsearch import (
+        build_ann_index, ivfpq_topk_served,
+    )
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qv = emb.first()["embedding"]
+    idx = build_ann_index(emb, str(tmp_path / "annr"), n_centroids=8,
+                          m=8, n_codes=16, residual=True)
+    plan = _formatted_plan(ivfpq_topk_served(spark, idx, qv, k=10, n_probe=3))
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange" not in plan and "Join" not in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "embedding" not in plan
+    assert "PartitionFilters: [ivf_cell" in plan
+
+
 def test_repetition_stats_plan_partial_aggs(spark):
     """tx_repetition: both aggregations must have map-side partials and the
     only exchanges are the two key-partitioned ones (id,bigram) → (id)."""

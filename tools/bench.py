@@ -40,6 +40,7 @@ SCRIPTS = {
     "memo": "tools/analyzer_memo_bench.py",
     "anchor": "tools/calibrate_anchor.py",
     "skew": "tools/skew_stress.py",
+    "recall": "tools/ann_recall.py",
 }
 
 

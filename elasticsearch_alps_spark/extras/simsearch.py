@@ -1,14 +1,31 @@
 """Similarity search over an embedding column (array<float>).
 
-- brute-force cosine top-k: exact baseline, pure Catalyst higher-order
-  functions (F.zip_with / F.aggregate) — no Python in the hot path.
-- LSH (random hyperplanes): the scale path — signature buckets prune the
-  candidate set before exact re-scoring; probes multiple buckets for recall.
+The full family, all exact-oracle-gated:
 
-At 100 TB the brute-force scan is a single map + TakeOrderedAndProject (no
-shuffle); LSH turns it into a bucket-pruned scan. IVF (k-means coarse
-quantizer) would follow the same candidate-prune shape; hyperplane LSH is the
-v1 bucketed variant.
+- brute-force cosine top-k — exact baseline, pure Catalyst higher-order
+  functions (F.zip_with / F.aggregate), map + TakeOrderedAndProject, zero
+  shuffles.
+- LSH (random hyperplanes, multi-probe) — signature buckets prune the
+  candidate set before exact re-scoring.
+- IVF (deterministic k-means coarse quantizer) — probe-cell-pruned exact
+  re-scoring.
+- PQ (product quantization, r4) — asymmetric-distance scoring over a
+  codes-only scan: m small ints per vector + literal lookup tables; the
+  float vectors are never rescanned. The 100-TB memory story.
+- IVF-PQ (r4) and residual IVF-PQ (r5, the FAISS default) — cells prune,
+  ADC scores; residual codebooks quantize v − centroid[cell] for better
+  recall at the same code size (tools/ann_recall.py measures it).
+- Persisted index artifact (r5): ``build_ann_index`` writes
+  cell-PARTITIONED codes parquet + centroid/codebook JSON;
+  ``ivfpq_topk_served`` is a partition-pruned codes scan with no
+  Exchange, no Python and no float column — the serving shape
+  (plan-asserted in tests/test_plan_quality.py).
+
+Recall/latency knobs: n_probe (cells scanned), n_planes/n_probes (LSH),
+m × n_codes (quantization budget — tools/ann_recall.py shows 4× budget
+roughly doubling PQ recall on the synthetic table). Every discrete
+decision (bucket bits, probe order, assignments) uses sequential-fold
+float64 (_seq_dot) so the DuckDB oracles reproduce them bit-for-bit.
 """
 
 from __future__ import annotations

@@ -542,6 +542,59 @@ def ivfpq_topk_served(spark, index_dir: str, query_vec: Sequence[float],
     return pq_topk(cand, query_vec, cb, k, id_col="id")
 
 
+def append_to_ann_index(spark, index_dir: str, new_emb: DataFrame,
+                        id_col: str = None,
+                        vec_col: str = "embedding") -> int:
+    """Incrementally add vectors to a persisted ANN index (the FAISS
+    ``add()`` analog, r5): assign + encode the NEW rows with the STORED
+    centroids/codebooks (codes stay probe-set- and history-independent,
+    so old and new codes are directly comparable) and append them into the
+    cell partition directories; only ``n_vecs`` changes in the meta. This
+    is the 100-TB maintenance shape — the index grows by encoding only the
+    delta, mirroring the text index's merge-not-rebuild story. Codebook
+    drift under a shifting distribution is handled the same way FAISS
+    handles it: periodically re-fit + re-encode (a fresh build_ann_index).
+    Returns the number of appended vectors."""
+    import os
+
+    from elasticsearch_alps_spark import fsio
+
+    _, cent, cb, meta = load_ann_index(spark, index_dir)
+    id_col = id_col or meta["id_col"]
+    assigned = ivf_assign(new_emb, cent, vec_col)
+    if meta.get("residual"):
+        encoded = pq_encode_residual(assigned, cent, cb, vec_col)
+    else:
+        encoded = pq_encode(assigned, cb, vec_col)
+    codes_path = os.path.join(index_dir, "codes")
+    (encoded.select(F.col(id_col).alias("id"), "ivf_cell", "pq_code")
+            .write.mode("append").partitionBy("ivf_cell")
+            .option("compression", "zstd").parquet(codes_path))
+    n_new = new_emb.count()
+    meta["n_vecs"] = int(meta["n_vecs"]) + int(n_new)
+    fsio.write_json(os.path.join(index_dir, "ann_meta.json"), meta, spark)
+    return int(n_new)
+
+
+def ivfpq_topk_refined(spark, index_dir: str, query_vec: Sequence[float],
+                       emb: DataFrame, k: int = 10, n_probe: int = 4,
+                       refine: int = 4, id_col: str = "vec_id",
+                       vec_col: str = "embedding") -> DataFrame:
+    """Two-stage serve (r5): ADC over the stored codes nominates
+    ``k × refine`` candidates, then EXACT cosine re-ranks only those rows'
+    float vectors — fetched through a pushed ``id IN (...)`` filter, so at
+    100 TB the floats are touched for ~40 rows, not the table. This is the
+    standard IVF-PQ + refine composition: recall approaches exact search
+    (the ADC list only has to CONTAIN the true top-k, not order it) at
+    quantized-scan cost plus k×refine point reads.
+    tools/ann_recall.py measures the lift."""
+    cand = ivfpq_topk_served(spark, index_dir, query_vec,
+                             k=k * refine, n_probe=n_probe)
+    ids = [r["id"] for r in cand.collect()]  # bounded: k*refine rows
+    sel = emb.filter(F.col(id_col).isin(ids))
+    return brute_force_topk(sel, query_vec, k, id_col, vec_col)
+
+
 def ivfpq_topk(emb: DataFrame, query_vec: Sequence[float], k: int = 10,
                n_centroids: int = 16, n_probe: int = 4, m: int = 8,
                n_codes: int = 16, iters: int = 5, seed: int = 42,

@@ -308,6 +308,68 @@ class TestSimSearch:
             spark, idx, qv, k=15, n_probe=6).collect()]
         assert got == want
 
+    def test_ann_index_append_equals_full_build(self, spark, tmp_path):
+        """r5: build over half the vectors, append the other half with the
+        SAME stored centroids/codebooks → served results identical to an
+        index built over everything at once (codes are history-
+        independent), and n_vecs in the meta tracks the append."""
+        from elasticsearch_alps_spark.extras.simsearch import (
+            append_to_ann_index, build_ann_index, ivf_fit_centroids,
+            ivfpq_topk_served, load_ann_index, pq_fit_codebooks,
+        )
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        qv = emb.filter(F.col("vec_id") == 7).first()["embedding"]
+        cent = ivf_fit_centroids(emb, 8)
+        cb = pq_fit_codebooks(emb, m=8, n_codes=16)
+        half1 = emb.filter(F.col("vec_id") % 2 == 0)
+        half2 = emb.filter(F.col("vec_id") % 2 == 1)
+        inc = build_ann_index(half1, str(tmp_path / "inc"), n_centroids=8,
+                              m=8, n_codes=16, centroids=cent, codebooks=cb)
+        n_new = append_to_ann_index(spark, inc, half2)
+        assert n_new == half2.count()
+        full = build_ann_index(emb, str(tmp_path / "full"), n_centroids=8,
+                               m=8, n_codes=16, centroids=cent, codebooks=cb)
+        assert load_ann_index(spark, inc)[3]["n_vecs"] == \
+            load_ann_index(spark, full)[3]["n_vecs"] == emb.count()
+        for n_probe in (2, 8):
+            got = [(r["id"], round(r["cosine"], 9)) for r in
+                   ivfpq_topk_served(spark, inc, qv, 15,
+                                     n_probe=n_probe).collect()]
+            want = [(r["id"], round(r["cosine"], 9)) for r in
+                    ivfpq_topk_served(spark, full, qv, 15,
+                                      n_probe=n_probe).collect()]
+            assert got == want, f"n_probe={n_probe}"
+
+    def test_ivfpq_refined_recall_beats_adc_and_matches_exact_full_probe(
+            self, spark, tmp_path):
+        """r5 two-stage serve: with all cells probed, ADC top-(k·refine)
+        followed by exact re-ranking must return EXACTLY the brute-force
+        top-k whenever the candidate list contains it; and refined recall
+        must be >= plain ADC recall on every query."""
+        from elasticsearch_alps_spark.extras.simsearch import (
+            brute_force_topk, build_ann_index, ivfpq_topk_refined,
+            ivfpq_topk_served,
+        )
+        emb = spark.read.parquet(
+            "/root/testdata/sf0.001/embeddings.parquet").cache()
+        idx = build_ann_index(emb, str(tmp_path / "ref"), n_centroids=8,
+                              m=8, n_codes=16)
+        for qid in (0, 7, 23):
+            qv = emb.filter(F.col("vec_id") == qid).first()["embedding"]
+            exact = [r["id"] for r in brute_force_topk(emb, qv, 10).collect()]
+            adc = {r["id"] for r in ivfpq_topk_served(
+                spark, idx, qv, 10, n_probe=8).collect()}
+            ref = [r["id"] for r in ivfpq_topk_refined(
+                spark, idx, qv, emb, k=10, n_probe=8, refine=8).collect()]
+            # refined ⊇-recall: never worse than the raw ADC ranking
+            assert len(set(ref) & set(exact)) >= len(adc & set(exact))
+            # exact re-ranking: candidates that survive are ordered exactly
+            # like brute force orders them
+            exact_pos = {vid: i for i, vid in enumerate(exact)}
+            in_exact = [v for v in ref if v in exact_pos]
+            assert in_exact == sorted(in_exact, key=lambda v: exact_pos[v])
+        emb.unpersist()
+
     def test_ann_meta_floats_roundtrip_exact(self, spark, tmp_path):
         # JSON shortest-repr must round-trip the fitted float64 centroids
         # and codebooks bit-exactly — the serving path's probe selection and

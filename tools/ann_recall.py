@@ -88,6 +88,10 @@ def main() -> None:
             spark, art_res, qv, k, n_probe=3),
         "ivfpq_residual_fullprobe": lambda qv: ss.ivfpq_topk_served(
             spark, art_res, qv, k, n_probe=8),
+        "ivfpq_refined_probe3_x4": lambda qv: ss.ivfpq_topk_refined(
+            spark, art, qv, emb, k, n_probe=3, refine=4),
+        "ivfpq_refined_fullprobe_x8": lambda qv: ss.ivfpq_topk_refined(
+            spark, art, qv, emb, k, n_probe=8, refine=8),
     }
     report = {"date": str(date.today()), "kind": "ann_recall", "sf": sf,
               "k": k, "n_queries": len(queries), "n_vecs": n_vecs,

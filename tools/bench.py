@@ -58,11 +58,18 @@ def _append_row(suite: str, argv, report) -> None:
 
 
 def _tail_json(stdout: str):
-    for line in reversed(stdout.strip().splitlines()):
-        line = line.strip()
-        if line.startswith("{"):
+    """Last JSON value in stdout — single-line OR pretty-printed (a
+    '{'-opening line is tried as the start of a multi-line document down
+    to the end of output; the r5 scaling envelope recorded only {'rc': 0}
+    because the sub-tool pretty-prints)."""
+    lines = stdout.strip().splitlines()
+    for i in range(len(lines) - 1, -1, -1):
+        line = lines[i].strip()
+        if not line.startswith("{"):
+            continue
+        for candidate in (line, "\n".join(lines[i:])):
             try:
-                return json.loads(line)
+                return json.loads(candidate)
             except json.JSONDecodeError:
                 continue
     return None

@@ -759,6 +759,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .orderBy("id_a", "id_b"))
     q["dx_embed_cosine_lsh"] = dx_embed_cosine_lsh
 
+    def dx_components(s, sf):
+        # r5: duplicate-cluster ids from pairs (the step after every pair
+        # miner). Edge set = doc_id chains in segments of 4 (i→i+1 except
+        # every 4th) — multi-hop components (diameter 3) so the gate fails
+        # if propagation stops after one neighbor step; DuckDB mirrors it
+        # with a recursive CTE.
+        d = docs_df(s, sf)
+        edges = (d.filter((F.col("doc_id") < 40) & (F.col("doc_id") % 4 != 3))
+                 .select(F.col("doc_id").alias("id_a"),
+                         (F.col("doc_id") + 1).alias("id_b")))
+        return dedup.connected_components(edges).orderBy("id")
+    q["dx_components"] = dx_components
+
+    def sp_hash_sample(s, sf):
+        # r5: deterministic hash sampling — reproducible across runs,
+        # partitionings and engines (df.sample() is none of those); the
+        # stratified variant keys the keep-rate on lang
+        from elasticsearch_alps_spark.extras import sampling
+        d = docs_df(s, sf)
+        plain = sampling.sample_by_hash(d, 0.3, ["doc_id"], seed=42) \
+            .select("doc_id", F.lit("plain").alias("which"))
+        strat = sampling.stratified_sample_by_hash(
+            d, {"en": 0.5, "de": 0.1}, "lang", ["doc_id"], seed=7,
+            default_rate=0.25).select("doc_id", F.lit("strat").alias("which"))
+        return plain.unionByName(strat).orderBy("which", "doc_id")
+    q["sp_hash_sample"] = sp_hash_sample
+
     # ---- similarity search ----
     def ann_brute(s, sf):
         e = emb_df(s, sf)
@@ -1132,6 +1159,42 @@ ORDER BY id_a, id_b"""
         pass
     o["dx_embed_cosine_lsh"] = _sql_embed_cosine_lsh(n_planes=6, seed=42,
                                                      dim=64, threshold=0.4)
+    # r5: min-reachable-id per node via a recursive CTE — terminates
+    # because UNION dedups the finite (id, comp) state space
+    o["dx_components"] = """
+WITH RECURSIVE e AS (
+  SELECT doc_id::BIGINT AS a, doc_id::BIGINT + 1 AS b
+  FROM documents WHERE doc_id < 40 AND doc_id % 4 != 3
+),
+sym AS (SELECT a, b FROM e UNION SELECT b, a FROM e),
+reach(id, comp) AS (
+  SELECT a, a FROM sym
+  UNION
+  SELECT s.a, r.comp FROM sym s JOIN reach r ON r.id = s.b
+)
+SELECT id, MIN(comp)::BIGINT AS component
+FROM reach GROUP BY id ORDER BY id"""
+    # r5: md5-derived ppm bucket (the dedup._md5_60bit idiom) — Spark's
+    # conv(substr(md5)) == DuckDB's ('0x' || substr(md5))::BIGINT
+    o["sp_hash_sample"] = """
+WITH h42 AS (
+  SELECT doc_id::BIGINT AS doc_id, lang,
+         ('0x' || substr(md5(doc_id::VARCHAR || chr(31) || '42'), 1, 15))::BIGINT
+           % 1000000 AS b
+  FROM documents
+),
+h7 AS (
+  SELECT doc_id::BIGINT AS doc_id, lang,
+         ('0x' || substr(md5(doc_id::VARCHAR || chr(31) || '7'), 1, 15))::BIGINT
+           % 1000000 AS b
+  FROM documents
+)
+SELECT doc_id, 'plain' AS which FROM h42 WHERE b < 300000
+UNION ALL
+SELECT doc_id, 'strat' AS which FROM h7
+WHERE b < CASE lang WHEN 'en' THEN 500000 WHEN 'de' THEN 100000
+          ELSE 250000 END
+ORDER BY which, doc_id"""
     o["dx_embed_cosine"] = """
 WITH aug AS (
   SELECT * FROM embeddings

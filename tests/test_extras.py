@@ -31,6 +31,80 @@ def dup_docs(spark):
     return spark.createDataFrame(base, "doc_id long, text string")
 
 
+class TestConnectedComponents:
+    def _cc(self, spark, edges, **kw):
+        from elasticsearch_alps_spark.extras.dedup import connected_components
+        df = spark.createDataFrame(edges, "id_a long, id_b long")
+        return {r["id"]: r["component"]
+                for r in connected_components(df, **kw).collect()}
+
+    def test_path_graph_multi_hop(self, spark):
+        # 0-1-2-3-4 path: diameter 4, needs real propagation (pointer
+        # jumping), not just one neighbor step
+        got = self._cc(spark, [(i, i + 1) for i in range(4)])
+        assert got == {i: 0 for i in range(5)}
+
+    def test_two_components_and_edge_direction(self, spark):
+        got = self._cc(spark, [(5, 3), (3, 9), (20, 21)])
+        assert got == {3: 3, 5: 3, 9: 3, 20: 20, 21: 20}
+
+    def test_matches_union_find_reference(self, spark):
+        # random graphs vs a plain union-find computed driver-side
+        import random
+        rng = random.Random(7)
+        for trial in range(3):
+            n = 40
+            edges = [(rng.randrange(n), rng.randrange(n))
+                     for _ in range(25)]
+            edges = [e for e in edges if e[0] != e[1]]
+            parent = list(range(n))
+
+            def find(x):
+                while parent[x] != x:
+                    parent[x] = parent[parent[x]]
+                    x = parent[x]
+                return x
+
+            for a, b in edges:
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+            nodes = {v for e in edges for v in e}
+            # canonicalize union-find roots to min id per component
+            comp_min: dict = {}
+            for v in sorted(nodes):
+                comp_min.setdefault(find(v), v)
+            want = {v: comp_min[find(v)] for v in nodes}
+            assert self._cc(spark, edges) == want, f"trial {trial}"
+
+    def test_keep_canonical_over_minhash_pairs(self, spark):
+        """End-to-end dedup: plant copies, mine pairs with MinHash+LSH,
+        cluster, keep canonical — exactly the planted originals survive."""
+        from elasticsearch_alps_spark.extras.dedup import (
+            connected_components, keep_canonical, minhash_lsh_pairs,
+        )
+        base = spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet").limit(30)
+        planted = (base.filter(F.col("doc_id") < 4)
+                   .withColumn("doc_id", F.col("doc_id") + F.lit(1000)))
+        planted2 = (base.filter(F.col("doc_id") < 2)
+                    .withColumn("doc_id", F.col("doc_id") + F.lit(2000)))
+        docs = base.unionByName(planted).unionByName(planted2)
+        pairs, release = minhash_lsh_pairs(docs, "text", "doc_id",
+                                           threshold=0.9,
+                                           persist_signatures=False)
+        comp = connected_components(pairs)
+        groups: dict = {}
+        for r in comp.collect():
+            groups.setdefault(r["component"], set()).add(r["id"])
+        assert groups[0] >= {0, 1000, 2000} and groups[1] >= {1, 1001, 2001}
+        kept = {r["doc_id"] for r in keep_canonical(docs, comp).collect()}
+        # every planted copy dropped; of the corpus's one REAL near-dup
+        # pair (docs 8/12, est_jaccard 0.94 — found by this very test) the
+        # canonical low id survives; everything else kept
+        assert kept == (set(range(30)) - {12})
+
+
 class TestDedup:
     def test_exact(self, dup_docs):
         rows = exact_duplicates(dup_docs).collect()
@@ -860,3 +934,59 @@ def test_embed_cosine_block_col_wired(spark):
                embedding_cosine_pairs(b, threshold=0.4,
                                       block_col="lsh_bucket").collect()}
     assert blocked and blocked <= full
+
+
+class TestSampling:
+    def test_deterministic_and_rate(self, spark):
+        from elasticsearch_alps_spark.extras.sampling import sample_by_hash
+        d = spark.range(20_000).withColumnRenamed("id", "doc_id")
+        a = {r["doc_id"] for r in sample_by_hash(d, 0.3, ["doc_id"]).collect()}
+        b = {r["doc_id"]
+             for r in sample_by_hash(d.repartition(17), 0.3,
+                                     ["doc_id"]).collect()}
+        assert a == b  # partitioning-independent, run-independent
+        assert abs(len(a) / 20_000 - 0.3) < 0.02  # ppm-accurate rate
+
+    def test_append_stability(self, spark):
+        # adding rows never flips the decision for an existing row
+        from elasticsearch_alps_spark.extras.sampling import sample_by_hash
+        d1 = spark.range(5_000).withColumnRenamed("id", "doc_id")
+        d2 = spark.range(10_000).withColumnRenamed("id", "doc_id")
+        a = {r["doc_id"] for r in sample_by_hash(d1, 0.4, ["doc_id"]).collect()}
+        b = {r["doc_id"] for r in sample_by_hash(d2, 0.4, ["doc_id"]).collect()}
+        assert a == {x for x in b if x < 5_000}
+
+    def test_split_disjoint_exhaustive(self, spark):
+        from elasticsearch_alps_spark.extras.sampling import split_by_hash
+        d = spark.range(10_000).withColumnRenamed("id", "doc_id")
+        train, val, test = split_by_hash(d, [0.8, 0.1, 0.1], ["doc_id"])
+        s = [{r["doc_id"] for r in x.collect()} for x in (train, val, test)]
+        assert sum(len(x) for x in s) == 10_000
+        assert not (s[0] & s[1]) and not (s[0] & s[2]) and not (s[1] & s[2])
+        assert abs(len(s[0]) / 10_000 - 0.8) < 0.02
+
+    def test_stratified_rates(self, spark):
+        from elasticsearch_alps_spark.extras.sampling import (
+            stratified_sample_by_hash,
+        )
+        rows = [(i, "en" if i % 2 else "de") for i in range(20_000)]
+        d = spark.createDataFrame(rows, "doc_id long, lang string")
+        got = stratified_sample_by_hash(d, {"en": 0.5, "de": 0.05}, "lang",
+                                        ["doc_id"], seed=7).collect()
+        en = sum(1 for r in got if r["lang"] == "en") / 10_000
+        de = sum(1 for r in got if r["lang"] == "de") / 10_000
+        assert abs(en - 0.5) < 0.03 and abs(de - 0.05) < 0.01
+
+    def test_sample_filter_pushes_to_scan(self, spark, tmp_path):
+        # a sample is a FILTER: it must reach the parquet scan (the scale
+        # property — sampling 1% of 100 TB must not read 100 TB into a
+        # Python stage first)
+        from elasticsearch_alps_spark.extras.sampling import sample_by_hash
+        p = str(tmp_path / "t")
+        spark.range(100).withColumnRenamed("id", "doc_id").write.parquet(p)
+        df = sample_by_hash(spark.read.parquet(p), 0.5, ["doc_id"])
+        plan = df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"))
+        assert "Filter" in plan and "BatchEvalPython" not in plan \
+            and "ArrowEvalPython" not in plan

@@ -77,6 +77,15 @@ class TestConnectedComponents:
             want = {v: comp_min[find(v)] for v in nodes}
             assert self._cc(spark, edges) == want, f"trial {trial}"
 
+    def test_long_path_converges_in_log_iterations(self, spark):
+        """The O(log n) claim: a 1000-node path has diameter 999 — plain
+        neighbor-min propagation would need ~999 iterations, so converging
+        within max_iters=18 (≈ log2(1000) + margin) proves the pointer-
+        jumping step is doing its job."""
+        got = self._cc(spark, [(i, i + 1) for i in range(999)],
+                       max_iters=18)
+        assert got == {i: 0 for i in range(1000)}
+
     def test_keep_canonical_over_minhash_pairs(self, spark):
         """End-to-end dedup: plant copies, mine pairs with MinHash+LSH,
         cluster, keep canonical — exactly the planted originals survive."""

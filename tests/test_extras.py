@@ -661,6 +661,36 @@ class TestMultimodal:
         d = np.abs(decode_jpeg(full).astype(int) - img.astype(int))
         assert d.max() <= 4
 
+    def test_jpeg_16bit_dqt_decodes_identically(self):
+        # rewrite the encoder's 8-bit DQT segments (pq=0) into spec-equal
+        # 16-bit ones (pq=1, big-endian u16 values) — the decoder's other
+        # DQT branch must produce the identical image
+        import struct
+
+        import numpy as np
+
+        from elasticsearch_alps_spark.extras.codecs import (
+            decode_jpeg, encode_jpeg,
+        )
+        img = np.random.RandomState(4).randint(0, 256, (9, 13, 3), np.uint8)
+        good = encode_jpeg(img, quant=3)
+        out, pos = bytearray(), 0
+        while pos < len(good):
+            if good[pos:pos + 2] == b"\xff\xdb":
+                seglen = struct.unpack_from(">H", good, pos + 2)[0]
+                tq = good[pos + 4] & 15
+                vals = good[pos + 5:pos + 5 + 64]
+                out += b"\xff\xdb" + struct.pack(">H", 2 + 1 + 128) \
+                    + bytes([(1 << 4) | tq])
+                for v in vals:
+                    out += struct.pack(">H", v)
+                pos += 2 + seglen
+            else:
+                out.append(good[pos])
+                pos += 1
+        a, b = decode_jpeg(good), decode_jpeg(bytes(out))
+        assert np.array_equal(a, b)
+
     def test_jpeg_rejects_progressive_and_truncated(self):
         import numpy as np
         from elasticsearch_alps_spark.extras.codecs import (

@@ -380,6 +380,10 @@ class _JpegBitReader:
 
     def __init__(self, data: bytes, pos: int):
         self.data, self.pos, self.cur, self.nbits = data, pos, 0, 0
+        # set when a synthetic pad bit is served past the end of the
+        # entropy data — a conforming stream's real pad bits live in its
+        # final byte, so consuming one of THESE means the data ran out
+        self.padded = False
 
     def _next_byte(self):
         d = self.data
@@ -399,6 +403,7 @@ class _JpegBitReader:
         if self.nbits == 0:
             b = self._next_byte()
             if b is None:
+                self.padded = True
                 return 1  # trailing pad bits are 1s (T.81 F.1.2.3)
             self.cur, self.nbits = b, 8
         self.nbits -= 1
@@ -411,12 +416,15 @@ class _JpegBitReader:
         return v
 
     def restart(self):
-        """Byte-align and consume the expected RSTn marker."""
+        """Byte-align and consume the expected RSTn marker (tolerating
+        T.81 B.1.1.2 0xFF fill bytes before the marker code)."""
         self.nbits = 0
         d = self.data
-        if (self.pos + 1 < len(d) and d[self.pos] == 0xFF
-                and 0xD0 <= d[self.pos + 1] <= 0xD7):
-            self.pos += 2
+        p = self.pos
+        while p + 1 < len(d) and d[p] == 0xFF and d[p + 1] == 0xFF:
+            p += 1
+        if p + 1 < len(d) and d[p] == 0xFF and 0xD0 <= d[p + 1] <= 0xD7:
+            self.pos = p + 2
         else:
             raise UnsupportedMediaError("JPEG restart marker missing")
 
@@ -464,6 +472,11 @@ def _decode_jpeg_inner(d: bytes) -> np.ndarray:
     while pos + 4 <= len(d):
         if d[pos] != 0xFF:
             raise UnsupportedMediaError("JPEG marker desync")
+        # T.81 B.1.1.2: any number of 0xFF fill bytes may pad before the
+        # marker code — skip them, else the second 0xFF is misread as the
+        # marker byte and the segment length lands on garbage (ADVICE r5)
+        while pos + 2 <= len(d) and d[pos + 1] == 0xFF:
+            pos += 1
         marker = d[pos + 1]
         pos += 2
         if marker in (0x01, 0xD8) or 0xD0 <= marker <= 0xD7:
@@ -532,6 +545,13 @@ def _decode_jpeg_inner(d: bytes) -> np.ndarray:
     n_mcu = 0
     for my in range(mcy):
         for mx in range(mcx):
+            if r.padded:
+                # a PREVIOUS MCU consumed synthetic pad bits: the entropy
+                # data ran out early, so pixels from here on would be
+                # 1-bit garbage — raise instead of completing (ADVICE r5;
+                # pads within the final MCU alone stay tolerated)
+                raise UnsupportedMediaError(
+                    "JPEG entropy-coded data truncated mid-scan")
             if restart_interval and n_mcu and n_mcu % restart_interval == 0:
                 r.restart()
                 pred = {c["id"]: 0 for c in comps}

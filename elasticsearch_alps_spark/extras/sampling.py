@@ -26,9 +26,20 @@ _BUCKETS = 1_000_000  # ppm resolution of the rate
 
 def _hash_ppm(key_cols: Sequence[str], seed: int) -> Column:
     """Uniform bucket in [0, 1e6) from md5 of the key columns + seed —
-    DuckDB-identical (see dedup._md5_60bit for the idiom)."""
-    key = F.concat_ws("\x1f", *[F.col(c).cast("string") for c in key_cols],
-                      F.lit(str(seed)))
+    DuckDB-identical (see dedup._md5_60bit for the idiom).
+
+    NULL key columns are coalesced to a ``chr(0)`` sentinel BEFORE the
+    concat: ``concat_ws`` silently drops NULL arguments, so without the
+    sentinel the keys ``('a', NULL)`` and ``('a',)`` would hash (and
+    sample) identically — and diverge from a SQL oracle whose ``||``
+    propagates NULL. The oracle idiom per column is
+    ``coalesce(col::VARCHAR, chr(0))``; non-null keys hash exactly as
+    before (the sentinel only substitutes, never wraps)."""
+    key = F.concat_ws(
+        "\x1f",
+        *[F.coalesce(F.col(c).cast("string"), F.lit("\x00"))
+          for c in key_cols],
+        F.lit(str(seed)))
     h = F.conv(F.substring(F.md5(key), 1, 15), 16, 10).cast("long")
     return h % F.lit(_BUCKETS)
 

@@ -21,10 +21,27 @@ only when ``QueryConfig.wand_auto_min_df`` is left at None; passing an
 int skips calibration entirely (the documented override knob). Either
 way both scorers are result-identical, so a miscalibrated threshold can
 only cost speed, never correctness.
+
+Reproducibility (ADVICE r5): a one-shot wall-clock probe on a LOADED box
+can pin a skewed threshold for the process lifetime, and scorer choice
+then varies machine-to-machine — fine for production auto-tuning, wrong
+for benchmarks and plan assertions. Two pinning layers resolve the None
+threshold BEFORE any probe runs:
+
+1. ``ALPS_WAND_MIN_DF`` env var — the hard pin for benchmarking / CI
+   (bench.py sets it for its mixed-auto section so recorded numbers are
+   machine-comparable).
+2. a ``calibration.json`` sidecar in the index's ``_lineage/`` dir —
+   written once at BUILD time (builds run on provisioned, typically idle
+   capacity), so every later serving process on any box reuses the same
+   threshold instead of re-probing under unknown load.
+
+Only when neither exists does the per-process probe run.
 """
 
 from __future__ import annotations
 
+import os
 import time
 from typing import Optional
 
@@ -86,3 +103,41 @@ def calibrated_min_df(spark, force: bool = False) -> int:
         _PROBE_CACHE["min_df"] = int(min(MIN_DF_CEIL,
                                          max(MIN_DF_FLOOR, raw)))
     return _PROBE_CACHE["min_df"]
+
+
+ENV_PIN = "ALPS_WAND_MIN_DF"
+SIDECAR = "calibration.json"  # under the index's _lineage/ dir
+
+
+def persist_calibration(spark, lineage_dir: str) -> int:
+    """Probe NOW (at build time, on the build cluster) and write the
+    threshold next to the index's lineage markers, so serving processes
+    inherit a load-independent value instead of re-probing (module doc,
+    layer 2). Returns the persisted threshold."""
+    from elasticsearch_alps_spark import fsio
+    min_df = calibrated_min_df(spark)
+    fsio.write_json(os.path.join(lineage_dir, SIDECAR), {
+        "wand_auto_min_df": min_df,
+        "probe_ratio": round(_PROBE_CACHE["ratio"], 4),
+        "ref_crossover_df": REF_CROSSOVER_DF,
+        "ref_probe_ratio": REF_PROBE_RATIO,
+    }, spark=spark, indent=2)
+    return min_df
+
+
+def resolve_min_df(spark, lineage_dir: Optional[str] = None) -> int:
+    """The full None-threshold resolution order (module doc): env pin →
+    index sidecar → one-per-process probe."""
+    pin = os.environ.get(ENV_PIN)
+    if pin:
+        return int(pin)
+    if lineage_dir is not None:
+        from elasticsearch_alps_spark import fsio
+        p = os.path.join(lineage_dir, SIDECAR)
+        try:
+            if fsio.exists(p, spark=spark):
+                return int(fsio.read_json(p, spark=spark)
+                           ["wand_auto_min_df"])
+        except Exception:
+            pass  # unreadable sidecar → fall through to the probe
+    return calibrated_min_df(spark)

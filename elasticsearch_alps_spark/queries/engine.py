@@ -411,11 +411,11 @@ class SearchEngine:
         if "://" not in packed and not os.path.exists(packed):
             return False
         thresh = self.qcfg.wand_auto_min_df
-        if thresh is None:  # self-calibrate once per process (r5)
+        if thresh is None:  # env pin → build-time sidecar → process probe
             from elasticsearch_alps_spark.queries.calibrate import (
-                calibrated_min_df,
+                resolve_min_df,
             )
-            thresh = calibrated_min_df(self.spark)
+            thresh = resolve_min_df(self.spark, self.paths.lineage_dir)
         hot, ceiling = self._hot_dfs(field)
         if any(hot.get(t, 0) >= thresh for t in terms):
             return True  # exact: a hot term alone clears the bar

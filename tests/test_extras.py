@@ -705,6 +705,68 @@ class TestMultimodal:
         with pytest.raises(UnsupportedMediaError):
             decode_jpeg(good[:20])  # truncated before SOF/SOS
 
+    def test_jpeg_fill_bytes_before_markers(self):
+        """ADVICE r5: T.81 B.1.1.2 allows any number of 0xFF fill bytes
+        before a marker code — header markers AND RSTn restarts. A padded
+        stream must decode identically to the unpadded one."""
+        import numpy as np
+        from elasticsearch_alps_spark.extras.codecs import (
+            decode_jpeg, encode_jpeg,
+        )
+        import struct
+
+        img = np.random.RandomState(7).randint(0, 256, (17, 23, 3),
+                                               np.uint8)
+        good = encode_jpeg(img, quant=2, subsample=True, restart_interval=2)
+        # walk the real marker structure (payload bytes may contain 0xFF,
+        # so a byte-wise scan would corrupt segment bodies)
+        padded = bytearray(good[:2])  # SOI (fill before SOI is not legal)
+        pos = 2
+        while pos < len(good):  # header segments up to and including SOS
+            assert good[pos] == 0xFF
+            marker = good[pos + 1]
+            seglen = struct.unpack_from(">H", good, pos + 2)[0]
+            padded += b"\xff\xff" + good[pos:pos + 2 + seglen]
+            pos += 2 + seglen
+            if marker == 0xDA:
+                break
+        while pos < len(good):  # entropy data: fill before RSTn / EOI only
+            b = good[pos]
+            if b == 0xFF and pos + 1 < len(good) and good[pos + 1] != 0x00:
+                padded += b"\xff\xff"  # fill bytes before the marker
+                padded += good[pos:pos + 2]
+                pos += 2
+            else:
+                padded.append(b)
+                pos += 1
+        assert np.array_equal(decode_jpeg(bytes(padded)), decode_jpeg(good))
+
+    def test_jpeg_truncated_entropy_raises(self):
+        """ADVICE r5: a stream cut mid-entropy-data must raise the boundary
+        error, not complete with 1-pad-bit garbage pixels."""
+        import struct
+
+        import numpy as np
+
+        from elasticsearch_alps_spark.extras.codecs import (
+            UnsupportedMediaError, decode_jpeg, encode_jpeg,
+        )
+        img = np.random.RandomState(9).randint(0, 256, (32, 32, 3),
+                                               np.uint8)
+        good = encode_jpeg(img, quant=1)  # 16 MCUs at 4:4:4
+        sos = good.index(b"\xff\xda")
+        entropy_start = sos + 2 + struct.unpack_from(">H", good, sos + 2)[0]
+        entropy_end = len(good) - 2  # strip EOI
+        cut = entropy_start + (entropy_end - entropy_start) // 2
+        # must raise the boundary type — whether the synthetic 1-pad bits
+        # form an invalid huffman code or a "valid" one, the padded-reader
+        # guard catches the latter before the next MCU renders garbage
+        with pytest.raises(UnsupportedMediaError):
+            decode_jpeg(good[:cut])
+        # and with the EOI re-appended (a "complete-looking" file)
+        with pytest.raises(UnsupportedMediaError):
+            decode_jpeg(good[:cut] + b"\xff\xd9")
+
     def test_real_decode_png_color_types(self, spark):
         """r4: PNG decodes through the mapInPandas plan — truecolor via our
         encoder (mixed scanline filters) and hand-built grayscale/palette
@@ -1015,6 +1077,43 @@ class TestSampling:
         en = sum(1 for r in got if r["lang"] == "en") / 10_000
         de = sum(1 for r in got if r["lang"] == "de") / 10_000
         assert abs(en - 0.5) < 0.03 and abs(de - 0.05) < 0.01
+
+    def test_null_keys_distinct_and_duckdb_parity(self, spark):
+        """ADVICE r5: concat_ws drops NULLs, so without the chr(0) sentinel
+        ('a', NULL) hashed like ('a',) and diverged from a ||-concatenating
+        SQL oracle. With it, NULL is a distinct key value and the DuckDB
+        coalesce idiom reproduces the sample bit-exactly."""
+        import duckdb
+
+        from elasticsearch_alps_spark.extras.sampling import sample_by_hash
+        rows = [("a", None), ("a", "x"), ("b", None), (None, "x"),
+                ("c", "y"), (None, None)] * 500
+        rows = [(f"{k1}{i}" if k1 else None, k2)
+                for i, (k1, k2) in enumerate(rows)]
+        d = spark.createDataFrame(rows, "k1 string, k2 string")
+        got = {(r["k1"], r["k2"])
+               for r in sample_by_hash(d, 0.4, ["k1", "k2"]).collect()}
+        con = duckdb.connect()
+        con.register("t", __import__("pandas").DataFrame(
+            rows, columns=["k1", "k2"]))
+        want = {tuple(None if __import__("pandas").isna(v) else v
+                      for v in row)
+                for row in con.execute("""
+            SELECT k1, k2 FROM t
+            WHERE ('0x' || substr(md5(
+                    coalesce(k1, chr(0)) || chr(31) ||
+                    coalesce(k2, chr(0)) || chr(31) || '42'), 1, 15)
+                  )::BIGINT % 1000000 < 400000""").fetchall()}
+        assert got == want
+        # and NULL really is a distinct key: a one-column sample over k1
+        # keeps a different set than the two-column sample restricted to
+        # rows whose k2 is NULL (they'd coincide under the old concat_ws
+        # dropping behavior for those rows)
+        one = {r["k1"] for r in sample_by_hash(
+            d.filter("k2 IS NULL"), 0.4, ["k1"]).collect()}
+        two = {r["k1"] for r in sample_by_hash(
+            d.filter("k2 IS NULL"), 0.4, ["k1", "k2"]).collect()}
+        assert one != two
 
     def test_sample_filter_pushes_to_scan(self, spark, tmp_path):
         # a sample is a FILTER: it must reach the parquet scan (the scale

@@ -241,6 +241,47 @@ class TestWandAuto:
             assert calibrate.calibrated_min_df(spark, force=True) == expect
         calibrate._PROBE_CACHE.clear()  # drop monkeypatched values
 
+    def test_resolve_min_df_env_sidecar_probe_order(self, spark, built_index,
+                                                    monkeypatch, tmp_path):
+        # ADVICE r5: the None threshold resolves env pin → build-time
+        # sidecar → per-process probe, so benchmarks pin and serving
+        # inherits a load-independent build-time value
+        import json
+        import os
+
+        from elasticsearch_alps_spark.queries import calibrate
+        monkeypatch.setenv(calibrate.ENV_PIN, "123456")
+        assert calibrate.resolve_min_df(
+            spark, built_index.lineage_dir) == 123456
+        monkeypatch.delenv(calibrate.ENV_PIN)
+        # build_index wrote the sidecar; prove it is actually read
+        p = os.path.join(built_index.lineage_dir, calibrate.SIDECAR)
+        assert os.path.exists(p)
+        side = json.load(open(p))
+        assert calibrate.MIN_DF_FLOOR <= side["wand_auto_min_df"] \
+            <= calibrate.MIN_DF_CEIL
+        json.dump({"wand_auto_min_df": 777}, open(p, "w"))
+        try:
+            assert calibrate.resolve_min_df(
+                spark, built_index.lineage_dir) == 777
+        finally:
+            json.dump(side, open(p, "w"), indent=2)
+        # no env, no sidecar → falls back to the (cached) process probe
+        assert calibrate.resolve_min_df(spark, str(tmp_path)) \
+            == calibrate.calibrated_min_df(spark)
+
+    def test_auto_env_pin_reaches_scorer_choice(self, spark, built_index,
+                                                monkeypatch):
+        # end-to-end: ALPS_WAND_MIN_DF=5 with the default None config must
+        # route the hot term to WAND without any probe
+        from elasticsearch_alps_spark.queries import calibrate
+        monkeypatch.setenv(calibrate.ENV_PIN, "5")
+        eng = SearchEngine(spark, built_index.root,
+                           QueryConfig(use_wand="auto",
+                                       driver_score_max_postings=0))
+        eng.match_query("def").collect()
+        assert eng.last_scorer == "wand"
+
     def test_auto_rare_term_outside_hot_cache_not_misrouted(self, spark,
                                                             built_index):
         # ADVICE r4: with a hot-term cache too small to hold the vocabulary

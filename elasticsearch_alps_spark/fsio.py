@@ -85,6 +85,19 @@ def read_json(path: str, spark: Optional[SparkSession] = None) -> dict:
     return json.loads(read_text(path, spark))
 
 
+def delete(path: str, spark: Optional[SparkSession] = None) -> None:
+    """Remove a small marker file (no-op when absent)."""
+    spark = spark or _active_spark()
+    if _is_local(path) or spark is None:
+        p = _strip_file_scheme(path)
+        if os.path.exists(p):
+            os.remove(p)
+        return
+    fs, jpath, _ = _jfs(spark, path)
+    if fs.exists(jpath):
+        fs.delete(jpath, False)
+
+
 def exists(path: str, spark: Optional[SparkSession] = None) -> bool:
     spark = spark or _active_spark()
     if _is_local(path) or spark is None:

@@ -31,7 +31,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from elasticsearch_alps_spark.config import (
-    IndexConfig, QueryConfig, SIMPLE_ANALYZER,
+    ExtraField, IndexConfig, QueryConfig, SIMPLE_ANALYZER, URL_ANALYZER,
 )
 from elasticsearch_alps_spark.indexing.builder import build_index, IndexPaths
 from elasticsearch_alps_spark.queries.engine import SearchEngine
@@ -52,10 +52,20 @@ def _index_paths(spark: SparkSession, sf_dir: str) -> IndexPaths:
         # truncate_chars raised so the oracle SQL (which tokenizes RAW text)
         # cannot diverge if a driver-generated doc ever exceeds the default
         # 100k-char P4 truncation (ADVICE.md round 1)
+        # r6 (VERDICT r5 next #4): a SECOND analyzed field — the reference's
+        # url field (docs-only, norms-free, url_email analyzer). The
+        # documents table has no url column, so one is synthesized
+        # deterministically from (source, lang, doc_id); the oracle mirrors
+        # the same expression in SQL.
         cfg = IndexConfig(analyzer=SIMPLE_ANALYZER, exact_analyzer=SIMPLE_ANALYZER,
+                          extra_fields=(ExtraField("url", "url", URL_ANALYZER),),
                           quantize_norms=False, build_packed=False,
                           truncate_chars=10**9)
-        docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        docs = (spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+                .withColumn("url", F.concat(
+                    F.lit("https://"), F.col("source"),
+                    F.lit(".example.com/"), F.col("lang"),
+                    F.lit("/doc-"), F.col("doc_id").cast("string"))))
         _PATHS[key] = build_index(spark, docs, out, cfg, text_col="text",
                                   doc_id_col="doc_id", id_cols=("doc_id",),
                                   shards=8, resume=True)
@@ -695,6 +705,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _engine(s, sf).wildcard_query("ind", size=_BIG), 100)
     q["ft_fuzzy"] = lambda s, sf: _topk(
         _engine(s, sf).fuzzy_query("sparc", size=_BIG), 50)
+    # r6 (VERDICT r5 next #8): the multi_match fuzziness=AUTO fallback
+    # (search.py:295-323 — per-word expansions, max_expansions 50, msm 60%
+    # → 2 of 4 words required)
+    q["ft_fuzzy_multiword"] = lambda s, sf: _topk(
+        _engine(s, sf).fuzzy_query("sparc windoo batchs filtr", size=_BIG),
+        50)
+    # r6 (VERDICT r5 next #4): match on the SECOND analyzed field (url —
+    # docs-only, norms-free: BM25's norms==null branch, tf ≡ 1)
+    q["ft_url_match"] = lambda s, sf: _topk(
+        _engine(s, sf).match_query("src3 de", "or", size=_BIG, field="url"),
+        50)
     q["ft_bool_or_msm50"] = lambda s, sf: _topk(
         _engine(s, sf, bool_must_operator="or",
                 bool_must_minimum_should_match="50%")
@@ -1141,6 +1162,68 @@ SELECT p.doc_id,
                  * {_TF}), 6) AS score
 FROM post p JOIN expq e USING (term) JOIN dl USING (doc_id) CROSS JOIN cs
 GROUP BY p.doc_id ORDER BY 2 DESC, 1 ASC LIMIT 50"""
+    # r6: multiword fuzzy fallback — per-word AUTO expansions (len band +
+    # levenshtein + boost), top-50 per word by (boost DESC, term ASC), msm
+    # 60% of 4 words → 2 distinct word-clauses required
+    o["ft_fuzzy_multiword"] = f"""{_PRELUDE},
+words(widx, word, maxd, wlen) AS (
+  VALUES (0, 'sparc', 1, 5), (1, 'windoo', 2, 6),
+         (2, 'batchs', 2, 6), (3, 'filtr', 1, 5)
+),
+exp0 AS (
+  SELECT widx, term, df, wlen, levenshtein(term, word) AS ed
+  FROM tstat, words
+  WHERE length(term) BETWEEN wlen - maxd AND wlen + maxd
+    AND levenshtein(term, word) <= maxd
+),
+scored AS (
+  SELECT widx, term, df,
+         CASE WHEN ed = 0 THEN 1.0
+              ELSE 1.0 - ed::DOUBLE / least(length(term), wlen)::DOUBLE
+         END AS boost
+  FROM exp0
+),
+expq AS (
+  SELECT widx, term, df, boost FROM (
+    SELECT *, row_number() OVER (PARTITION BY widx
+                                 ORDER BY boost DESC, term ASC) AS rn
+    FROM scored)
+  WHERE rn <= 50
+)
+SELECT p.doc_id,
+       ROUND(SUM(e.boost * ln(1.0 + (cs.n - e.df + 0.5) / (e.df + 0.5))
+                 * {_TF}), 6) AS score
+FROM post p JOIN expq e USING (term) JOIN dl USING (doc_id) CROSS JOIN cs
+GROUP BY p.doc_id
+HAVING count(DISTINCT e.widx) >= 2
+ORDER BY 2 DESC, 1 ASC LIMIT 50"""
+    # r6: match on the url field — docs-only (tf ≡ 1) + norms-free
+    # (tf_norm = 1/(1+k1)); the url column is synthesized identically to
+    # _index_paths' withColumn, tokenized by the url_email idiom
+    o["ft_url_match"] = """
+WITH docs AS (
+  SELECT doc_id,
+         lower('https://' || source || '.example.com/' || lang || '/doc-'
+               || doc_id::VARCHAR) AS u
+  FROM documents
+  WHERE text IS NOT NULL AND regexp_matches(text, '\\S')
+),
+toks AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(u, '[-/_.:?#=&]+'),
+                             x -> x <> '') AS arr
+  FROM docs
+),
+upost AS (SELECT DISTINCT doc_id, term
+          FROM (SELECT doc_id, unnest(arr) AS term FROM toks)),
+ucs AS (SELECT count(*)::DOUBLE AS n FROM docs),
+w AS (SELECT term, count(*)::DOUBLE AS df FROM upost
+      WHERE term IN ('src3', 'de') GROUP BY term)
+SELECT p.doc_id,
+       ROUND(SUM(ln(1.0 + (ucs.n - w.df + 0.5) / (w.df + 0.5))
+                 * (1.0 / (1.0 + 1.2))), 6) AS score
+FROM upost p JOIN w USING (term) CROSS JOIN ucs
+GROUP BY p.doc_id
+ORDER BY 2 DESC, 1 ASC LIMIT 50"""
     # bool OR over 4 single-term words with msm 50% → required 2 clauses ≡
     # match msm with required 2
     o["ft_bool_or_msm50"] = _sql_match(["batch", "window", "spark", "join"], 2, 50)

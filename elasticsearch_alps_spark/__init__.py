@@ -20,4 +20,6 @@ Elasticsearch/Lucene semantics and the reference's configuration files.
 
 __version__ = "0.1.0"
 
-from elasticsearch_alps_spark.config import AnalyzerConfig, IndexConfig, QueryConfig  # noqa: F401
+from elasticsearch_alps_spark.config import (  # noqa: F401
+    AnalyzerConfig, ExtraField, IndexConfig, QueryConfig,
+)

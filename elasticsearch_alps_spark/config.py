@@ -89,6 +89,26 @@ ANALYZERS = {
 
 
 @dataclass(frozen=True)
+class ExtraField:
+    """A second analyzed COLUMN with its own analyzer (reference: the url
+    field, ``index_config_with_url_english.json:83-88``) plus the two Lucene
+    storage knobs that change scoring:
+
+    - ``index_options="docs"`` — only doc membership is indexed: stored
+      freq ≡ 1 and positions are dropped (no phrase queries; at 100-TB this
+      is the point — a url field's postings shrink to (term, doc_id) pairs).
+    - ``norms=False`` — no length norm stored; BM25 scores through Lucene's
+      ``norms == null`` branch: tf / (tf + k1), no dl/avgdl term.
+    """
+
+    name: str
+    source_col: str
+    analyzer: AnalyzerConfig
+    index_options: str = "docs"  # "docs" | "positions"
+    norms: bool = False
+
+
+@dataclass(frozen=True)
 class BM25Params:
     """Lucene 8.11 BM25 defaults (ES 7.17's similarity). No (k1+1) factor
     (removed in Lucene 8, LUCENE-8563)."""
@@ -116,6 +136,9 @@ class IndexConfig:
 
     analyzer: AnalyzerConfig = WEB_CONTENT_ANALYZER
     exact_analyzer: Optional[AnalyzerConfig] = EXACT_MATCH_ANALYZER
+    # additional analyzed columns, e.g. the reference's url field
+    # (docs-only, norms-free — see ExtraField)
+    extra_fields: tuple = ()
     number_of_shards: Optional[int] = None
     truncate_chars: int = 100_000
     quantize_norms: bool = True

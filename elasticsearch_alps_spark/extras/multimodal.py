@@ -92,9 +92,17 @@ def _real_decode(payload: bytes, feat_dim: int):
 def decode_media(df: DataFrame, feat_dim: int = 16, fake: bool = False,
                  batch_rows_hint: int = 64) -> DataFrame:
     """Decode / feature-extract via mapInPandas. The default path REALLY
-    decodes uncompressed BMP and PCM WAV (pure Python+numpy, r4); other
-    formats raise UnsupportedMediaError inside the task. fake=True keeps the
-    deterministic sha1-seeded stub for format-agnostic plumbing tests."""
+    decodes baseline JPEG, PNG, uncompressed BMP and PCM WAV (pure
+    Python+numpy); other formats raise UnsupportedMediaError inside the
+    task. fake=True keeps the deterministic sha1-seeded stub for
+    format-agnostic plumbing tests.
+
+    SCALE BOUNDARY (adjudicated in COVERAGE.md, "multimodal binary
+    columns" row): the JPEG Huffman entropy stage is per-bit Python —
+    test-scale only. A production deployment binds a native codec
+    (libjpeg-turbo / nvJPEG) behind this SAME operator: the schema,
+    Arrow batching, partitioning and error boundary here are the real
+    100-TB plumbing; only the per-image byte→pixel kernel swaps."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -163,7 +163,9 @@ def _stage_done(paths: IndexPaths, stage: str, config_key: str) -> bool:
 def _build_field(spark: SparkSession, n_docs: int, src: DataFrame,
                  src_kind: str, paths: IndexPaths, field: str,
                  analyzer: AnalyzerConfig, cfg: IndexConfig, shards: int,
-                 config_key: str, resume: bool, build_packed: bool) -> dict:
+                 config_key: str, resume: bool, build_packed: bool,
+                 index_options: str = "positions",
+                 norms_enabled: bool = True) -> dict:
     """Build postings + term_stats (+ packed) for one analyzed field.
 
     ``src_kind``:
@@ -173,6 +175,12 @@ def _build_field(spark: SparkSession, n_docs: int, src: DataFrame,
     - "tok": (doc_id, tok: array<struct<t,p>>) — JVM-side token stream (the
       SQL-expressible simple profile); per-(term,doc) aggregation happens via
       groupBy (one extra shuffle, but zero Python in the path).
+
+    ``index_options="docs"`` (r6, the url field): only doc membership is
+    stored — freq ≡ 1, positions empty, dl ≡ 1 — a (term, doc_id)-pair
+    table, the Lucene storage shape for boolean-match-only fields.
+    ``norms_enabled=False`` is recorded in the field stats so the engine
+    scores through the norms-free BM25 branch.
     """
     if resume and _stage_done(paths, f"field_{field}", config_key):
         return fsio.read_json(_lineage_path(paths, f"field_{field}"))["stats"]
@@ -199,6 +207,12 @@ def _build_field(spark: SparkSession, n_docs: int, src: DataFrame,
                     .agg(F.count("*").alias("freq"),
                          F.sort_array(F.collect_list("pos")).alias("positions"),
                          F.first("dl").alias("dl")))
+    if index_options == "docs":
+        postings = postings.select(
+            "term", "doc_id",
+            F.lit(1).cast("long").alias("freq"),
+            F.expr("CAST(array() AS array<int>)").alias("positions"),
+            F.lit(1).cast("long").alias("dl"))
     # NOTE: observe() on this plan would double-count — the range exchange's
     # sampling pass flows every row through the accumulator-backed
     # CollectMetrics node a second time. Measured: cf_total came back exactly
@@ -215,6 +229,10 @@ def _build_field(spark: SparkSession, n_docs: int, src: DataFrame,
     avgdl = cf_total / n_docs if n_docs else 0.0
     stats = {"n_docs": n_docs, "cf_total": cf_total, "avgdl": avgdl,
              "analyzer": analyzer.name()}
+    if index_options != "positions":
+        stats["index_options"] = index_options
+    if not norms_enabled:
+        stats["norms"] = False
 
     written = spark.read.parquet(paths.postings(field))
 
@@ -345,6 +363,9 @@ def build_index(spark: SparkSession, docs_df: DataFrame, out_dir: str,
     config_key = json.dumps(
         {"analyzer": cfg.analyzer.name(),
          "exact": cfg.exact_analyzer.name() if cfg.exact_analyzer else None,
+         "extra_fields": [[ef.name, ef.source_col, ef.analyzer.name(),
+                           ef.index_options, ef.norms]
+                          for ef in cfg.extra_fields],
          "quantize": cfg.quantize_norms, "truncate": cfg.truncate_chars,
          "block_size": cfg.block_size, "text_col": text_col,
          "id_cols": list(id_cols), "doc_id_col": doc_id_col},
@@ -530,4 +551,21 @@ def _build_fields(spark: SparkSession, cfg: IndexConfig, paths: IndexPaths,
     finally:
         if cached is not None:
             cached.unpersist()
+    for ef in cfg.extra_fields:
+        # r6 (VERDICT r5 next #4): additional analyzed columns — the
+        # reference's url field. Each is its own small postings build
+        # (docs-only fields collapse to (term, doc_id) pairs); no packed
+        # blocks (WAND serves the main field only).
+        from elasticsearch_alps_spark.analysis.udfs import doc_postings_udf
+        src_ef = (docs.select(
+            "doc_id",
+            doc_postings_udf(ef.analyzer)(
+                F.coalesce(F.col(ef.source_col).cast("string"),
+                           F.lit(""))).alias("dp"))
+            .select("doc_id", F.col("dp.len").alias("doc_len"),
+                    F.col("dp.posts").alias("posts")))
+        field_stats[ef.name] = _build_field(
+            spark, n_docs, src_ef, "posts", paths, ef.name, ef.analyzer,
+            cfg, n_shards, config_key, resume, build_packed=False,
+            index_options=ef.index_options, norms_enabled=ef.norms)
     return field_stats

@@ -166,9 +166,17 @@ class SearchEngine:
         # df 0 and are correctly left out (callers use dfs.get(t, 0))
         return out
 
+    def _norms_enabled(self, field: str) -> bool:
+        return self.stats["fields"][field].get("norms", True)
+
     def _tf_norm_col(self, field: str):
-        _, avgdl = self._fstat(field)
         freq = F.col("freq").cast("double")
+        if not self._norms_enabled(field):
+            # Lucene BM25Similarity's norms == null branch (the url field,
+            # index_config_with_url_english.json:87): no length
+            # normalization — tf / (tf + k1); docs-only fields store tf ≡ 1
+            return freq / (freq + F.lit(self.k1))
+        _, avgdl = self._fstat(field)
         dl = F.col("dl").cast("double")
         return freq / (freq + F.lit(self.k1) *
                        (F.lit(1.0 - self.b) + F.lit(self.b) * dl / F.lit(avgdl)))
@@ -254,8 +262,11 @@ class SearchEngine:
             clause_terms.setdefault(cid, set()).add(t)
         w = pdf["term"].map(weights).to_numpy(dtype=np.float64)
         freq = pdf["freq"].to_numpy(dtype=np.float64)
-        dl = pdf["dl"].to_numpy(dtype=np.float64)
-        contrib = w * (freq / (freq + k1 * (one_minus_b + b * dl / avgdl)))
+        if self._norms_enabled(field):
+            dl = pdf["dl"].to_numpy(dtype=np.float64)
+            contrib = w * (freq / (freq + k1 * (one_minus_b + b * dl / avgdl)))
+        else:  # norms-free field: tf / (tf + k1), mirroring _tf_norm_col
+            contrib = w * (freq / (freq + k1))
         docs = pdf["doc_id"].to_numpy(dtype=np.int64)
         uniq, inv = np.unique(docs, return_inverse=True)
         scores = np.zeros(len(uniq), dtype=np.float64)
@@ -357,11 +368,16 @@ class SearchEngine:
 
     def match_query(self, text: str, operator: str = "or",
                     minimum_should_match: Optional[int] = None,
-                    size: Optional[int] = None) -> DataFrame:
+                    size: Optional[int] = None,
+                    field: str = "main") -> DataFrame:
         """Q1/Q2/Q3 (search.py:141-172): analyzed OR/AND match, top `size` by
-        BM25, minimum_should_match as a percentage for OR."""
+        BM25, minimum_should_match as a percentage for OR. ``field`` selects
+        the analyzed field (the reference's queries are field-parametric,
+        search.py:151: "main" = text, or any ExtraField name, e.g. "url" —
+        analyzed with THAT field's analyzer and scored with its norms
+        setting)."""
         size = size or self.qcfg.size_match
-        terms = analyze(text, self._analyzers["main"])
+        terms = analyze(text, self._analyzers[field])
         if not terms:
             return self._empty_hits()
         mult: Dict[str, int] = {}
@@ -375,21 +391,21 @@ class SearchEngine:
         else:
             required = 1
         clause_mults = [(i, t, float(k)) for i, (t, k) in enumerate(mult.items())]
-        use_wand = self._resolve_use_wand("main", list(mult))
+        use_wand = self._resolve_use_wand(field, list(mult))
         if not use_wand:
-            hits = self._score_clauses_driver("main", clause_mults, required, size)
+            hits = self._score_clauses_driver(field, clause_mults, required, size)
             if hits is not None:
                 return hits
         if self.qcfg.fused_stats and not use_wand:
-            return self._score_clauses_fused("main", clause_mults, required, size)
-        dfs = self._df_lookup("main", list(mult))
-        clauses = [(i, t, k * self.idf("main", dfs.get(t, 0)))
+            return self._score_clauses_fused(field, clause_mults, required, size)
+        dfs = self._df_lookup(field, list(mult))
+        clauses = [(i, t, k * self.idf(field, dfs.get(t, 0)))
                    for i, (t, k) in enumerate(mult.items())]
         if use_wand:
             # match-query clauses are one-per-distinct-term, so the WAND
             # conjunctive/msm extension applies to AND and msm too (r2)
-            return self._wand("main", clauses, size, required)
-        return self._score_clauses("main", clauses, required, size)
+            return self._wand(field, clauses, size, required)
+        return self._score_clauses(field, clauses, required, size)
 
     def _resolve_use_wand(self, field: str, terms: List[str]) -> bool:
         """``use_wand="auto"`` (r4, VERDICT r3 next #2): pick WAND per query

@@ -177,3 +177,62 @@ def test_topk_stable_under_repartitioning(spark, built_index, corpus_df,
                  for r in getattr(e2, fn)(q).collect()]
             assert sorted(a, key=lambda t: (-t[1], t[0])) == \
                 sorted(b, key=lambda t: (-t[1], t[0])), (fn, q)
+
+
+def test_extra_url_field_build_and_query(spark, corpus_df, tmp_path):
+    """r6 (VERDICT r5 next #4): a second analyzed column — the reference's
+    url field (index_config_with_url_english.json:83-88): url_email
+    analyzer, index_options=docs (freq ≡ 1, no positions), norms=false
+    (BM25's norms==null branch: per-term score = idf · 1/(1+k1))."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from elasticsearch_alps_spark.config import (
+        ExtraField, IndexConfig, QueryConfig, URL_ANALYZER,
+    )
+    from elasticsearch_alps_spark.queries.engine import SearchEngine
+
+    docs = corpus_df.withColumn(
+        "url", F.concat(F.lit("https://host.example.com/"), F.col("lang"),
+                        F.lit("/"), F.col("path")))
+    cfg = IndexConfig(extra_fields=(ExtraField("url", "url", URL_ANALYZER),))
+    paths = build_index(spark, docs, str(tmp_path / "idx_url"), cfg, shards=4)
+    stats = paths.read_stats()["fields"]
+    assert stats["url"]["norms"] is False
+    assert stats["url"]["index_options"] == "docs"
+    assert stats["url"]["analyzer"] == "url_email+lowercase"
+    # docs-only storage: every posting has freq 1, empty positions, dl 1
+    post = spark.read.parquet(paths.postings("url"))
+    bad = post.filter((F.col("freq") != 1) | (F.size("positions") != 0)
+                      | (F.col("dl") != 1)).count()
+    assert bad == 0
+    # field-parametric match with norms-free scoring: score per matched
+    # term = idf(t) · 1/(1+k1), idf from the URL field's own stats
+    eng = SearchEngine(spark, paths.root,
+                       QueryConfig(driver_score_max_postings=0,
+                                   fused_stats=False))
+    hits = eng.match_query("example py", field="url").collect()
+    assert hits
+    n = stats["url"]["n_docs"]
+    dfs = {r["term"]: r["df"] for r in
+           spark.read.parquet(paths.term_stats("url"))
+           .filter(F.col("term").isin(["example", "py"])).collect()}
+
+    def idf(t):
+        d = dfs.get(t, 0)
+        return math.log(1.0 + (n - d + 0.5) / (d + 0.5))
+
+    tfn = 1.0 / (1.0 + 1.2)
+    # every doc has 'example' in its url; only .py paths match 'py' too
+    both = idf("example") * tfn + idf("py") * tfn
+    only = idf("example") * tfn
+    got = {round(r["score"], 9) for r in hits}
+    assert got <= {round(both, 9), round(only, 9)}
+    assert round(both, 9) in got
+    # the driver serving path scores identically (norms-free branch there)
+    eng_drv = SearchEngine(spark, paths.root, QueryConfig(fused_stats=False))
+    drv = eng_drv.match_query("example py", field="url").collect()
+    assert eng_drv.last_scorer == "driver"
+    assert [(r["doc_id"], round(r["score"], 9)) for r in drv] == \
+        [(r["doc_id"], round(r["score"], 9)) for r in hits]

@@ -41,6 +41,7 @@ SCRIPTS = {
     "anchor": "tools/calibrate_anchor.py",
     "skew": "tools/skew_stress.py",
     "recall": "tools/ann_recall.py",
+    "qscale": "tools/query_scaling.py",
 }
 
 

@@ -37,7 +37,7 @@ def main() -> None:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     reps = int(os.environ.get("ALPS_MERGE_REPS", "3"))
 
-    from pyspark.sql import SparkSession, Window, functions as F
+    from pyspark.sql import SparkSession, functions as F
     from elasticsearch_alps_spark.config import IndexConfig, QueryConfig
     from elasticsearch_alps_spark.fixtures import documents_df_distributed
     from elasticsearch_alps_spark.indexing.builder import build_index
@@ -63,16 +63,19 @@ def main() -> None:
         # corpus split EXACTLY like the builder's docID order (sorted by the
         # id tuple) so build(A)+build(B) merged assigns the same docIDs as
         # build(A∪B) and query parity can compare (doc_id, score) directly.
-        # (The unpartitioned window is test scaffolding for picking an exact
-        # median key — fine at 1M rows, not a production pattern; production
-        # merges take whatever doc split the segments already have.)
+        # r6: the median key comes from the builder's own DISTRIBUTED rank
+        # (assign_dense_doc_ids: range partition + per-partition offsets) —
+        # the r5 unpartitioned row_number window pulled the whole corpus
+        # through ONE task, which stops scaling at 10M docs.
         src = os.path.join(out, "src")
         documents_df_distributed(spark, n_docs, seed=42).write.parquet(src)
         docs = spark.read.parquet(src)
-        rn = F.row_number().over(
-            Window.orderBy("repo", "path", "commit")) - 1
-        ranked = docs.withColumn("rn", rn)
         half = n_docs // 2
+        from elasticsearch_alps_spark.indexing.ids import assign_dense_doc_ids
+        with_ids, release_ids, _ = assign_dense_doc_ids(
+            docs, ["repo", "path", "commit"], cpus)
+        ranked = with_ids.withColumnRenamed("doc_id", "rn")
+        # (release_ids after the half-builds: both filters read the cache)
         a_dir, b_dir = os.path.join(out, "a"), os.path.join(out, "b")
         m_dir, f_dir = os.path.join(out, "merged"), os.path.join(out, "full")
         cfg = IndexConfig()
@@ -81,6 +84,7 @@ def main() -> None:
                          a_dir, cfg, shards=cpus)
         pb = build_index(spark, ranked.filter(F.col("rn") >= half).drop("rn"),
                          b_dir, cfg, shards=cpus)
+        release_ids()
         report["build_halves_sec"] = round(time.time() - t0, 1)
 
         t0 = time.time()

@@ -268,14 +268,24 @@ class SearchEngine:
         else:  # norms-free field: tf / (tf + k1), mirroring _tf_norm_col
             contrib = w * (freq / (freq + k1))
         docs = pdf["doc_id"].to_numpy(dtype=np.int64)
+        terms_arr = pdf["term"].to_numpy()
+        # canonical fold order (r6, see _det_score_agg): reorder rows so each
+        # doc's contributions accumulate ASCENDING BY VALUE from 0.0 —
+        # np.add.at is sequential per slot, so per-doc addition order is the
+        # row order restricted to that doc. Scores are then bit-identical
+        # across index layouts AND to the fused/exhaustive/WAND folds.
+        if len(weights) > 1:
+            order_ix = np.argsort(contrib, kind="stable")
+            docs, contrib = docs[order_ix], contrib[order_ix]
+            terms_arr = terms_arr[order_ix]
         uniq, inv = np.unique(docs, return_inverse=True)
         scores = np.zeros(len(uniq), dtype=np.float64)
         np.add.at(scores, inv, contrib)
         if required > 1:
             nmatch = np.zeros(len(uniq), dtype=np.int32)
-            term_col = pdf["term"]
+            term_ser = pd.Series(terms_arr)
             for cid, cterms in clause_terms.items():
-                mask = term_col.isin(cterms).to_numpy()
+                mask = term_ser.isin(cterms).to_numpy()
                 hit = np.zeros(len(uniq), dtype=bool)
                 hit[inv[mask]] = True
                 nmatch += hit
@@ -322,13 +332,34 @@ class SearchEngine:
              .join(F.broadcast(wdf), "term")
              .withColumn("s", F.col("weight") * self._tf_norm_col(field)))
         agg = j.groupBy("doc_id").agg(
-            F.sum("s").alias("score"),
+            self._det_score_agg(len(terms)),
             F.countDistinct("clause_id").alias("nmatch"))
         if required > 1:
             agg = agg.filter(F.col("nmatch") >= required)
         agg, obs = self._observe_total(agg)
         return (agg.select("doc_id", "score")
                    .orderBy(F.desc("score"), F.asc("doc_id")).limit(size))
+
+    @staticmethod
+    def _det_score_agg(n_distinct_terms: int):
+        """Per-doc score aggregation with a canonical fold order (r6): sum
+        the term contributions ASCENDING BY VALUE from 0.0. The fold then
+        depends only on the multiset of contributions — which is
+        layout-invariant — so a merged index scores bit-identically to a
+        rebuilt one (caught by the 10M-doc merge parity run: Spark's
+        partial-agg sum folds in scan-layout order, and an ulp difference
+        reorders docs inside top-k tie plateaus; Lucene is deterministic
+        here via its fixed clause-order sums). Doubles-only payload: the
+        exchange ships ≤ n_query_terms doubles per doc, no term strings.
+        Equal values commute, so ties need no tiebreak. Single-term
+        queries keep the primitive sum (one element — order-free and
+        cheaper). The driver (_score_clauses_driver) and WAND
+        (wand._bucket_wand) scorers use the same ascending-value fold."""
+        if n_distinct_terms <= 1:
+            return F.sum("s").alias("score")
+        return F.aggregate(
+            F.array_sort(F.collect_list("s")),
+            F.lit(0.0), lambda acc, x: acc + x).alias("score")
 
     def _observe_total(self, matches: DataFrame) -> Tuple[DataFrame, "object"]:
         """Attach a row-count Observation to the full-match plan: the top-k
@@ -356,7 +387,7 @@ class SearchEngine:
              .join(F.broadcast(cdf), "term")
              .withColumn("s", F.col("weight") * self._tf_norm_col(field)))
         agg = j.groupBy("doc_id").agg(
-            F.sum("s").alias("score"),
+            self._det_score_agg(len(terms)),
             F.countDistinct("clause_id").alias("nmatch"))
         if required > 1:
             agg = agg.filter(F.col("nmatch") >= required)

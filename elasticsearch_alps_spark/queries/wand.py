@@ -167,12 +167,17 @@ def _bucket_wand(term_blocks: Dict[str, List[dict]], weights: Dict[str, float],
                         it.next_doc()
                 iters = [it for it in live if it.cur != _SENTINEL]
                 continue
+            # canonical fold order (r6): sum the matching terms' contributions
+            # ASCENDING BY VALUE from 0.0 — the same association every other
+            # scorer uses (engine._det_score_agg) — so WAND scores are
+            # bit-identical to the exhaustive/fused/driver paths and
+            # independent of index layout
+            contribs = sorted(it.score_cur() for it in live
+                              if it.cur == pivot_doc)
             score = 0.0
-            nmatch = 0
-            for it in live:
-                if it.cur == pivot_doc:
-                    score += it.score_cur()
-                    nmatch += 1
+            for c in contribs:
+                score += c
+            nmatch = len(contribs)
             for it in live:
                 if it.cur == pivot_doc:
                     it.next_doc()

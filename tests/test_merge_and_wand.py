@@ -58,9 +58,12 @@ def test_merged_index_queries_identical(spark, split_indexes):
     for q in ("def", "parse json config", "import numpy as np"):
         got = [(r["doc_id"], r["score"]) for r in em.match_query(q).collect()]
         want = [(r["doc_id"], r["score"]) for r in ea.match_query(q).collect()]
-        assert [d for d, _ in got] == [d for d, _ in want]
-        for (gd, gs), (_, ws) in zip(got, want):
-            assert gs == pytest.approx(ws, rel=1e-9), (q, gd)
+        # BIT-exact, not approx (r6): every scorer folds per-doc term
+        # contributions in ascending-term order from 0.0, so scores are
+        # independent of index file layout — the 10M-doc merge parity run
+        # caught the scan-order fold diverging by an ulp, which reorders
+        # docs inside top-k tie plateaus (membership flips rounding can't fix)
+        assert got == want, q
 
 
 def test_merge_resume_marker(spark, split_indexes, tmp_path):
@@ -79,11 +82,12 @@ WAND_QUERIES = ["def", "import", "parse json config", "def main",
 
 
 def _ranked(rows):
-    """Re-rank by (score rounded to 9 dp, doc_id): per-doc sums accumulate in
-    different orders in the two scorers (Spark partial-agg order vs WAND
-    iterator order), so last-ulp diffs can swap exact-tie neighbors — the
-    same rounding discipline the oracle gate uses."""
-    return sorted(((r["doc_id"], round(r["score"], 9)) for r in rows),
+    """Canonical (doc_id, score) ranking. r6: scores compare EXACTLY — all
+    scorers fold per-doc contributions in ascending-term order from 0.0,
+    so WAND is bit-identical to the exhaustive plan (the pre-r6 rounding
+    hedge papered over fold-order ulps that at 10M docs flipped top-k
+    membership inside tie plateaus)."""
+    return sorted(((r["doc_id"], r["score"]) for r in rows),
                   key=lambda t: (-t[1], t[0]))
 
 
@@ -297,3 +301,27 @@ class TestWandAuto:
         assert "uniq_100_1" not in hot
         eng.match_query("uniq_100_1").collect()
         assert eng.last_scorer == "fused"  # df=1 < 5, resolved exactly
+
+
+def test_scores_independent_of_index_layout(spark, corpus_df, index_cfg,
+                                            built_index, tmp_path):
+    """r6 (10M-doc merge parity find): per-doc BM25 sums must not depend on
+    the index's file/partition layout. Build the SAME corpus with a
+    different shard count (different parquet layout ⇒ different scan row
+    order) and require bit-identical (doc_id, score) sequences for a
+    3-term query on every scorer path — the canonical ascending-term fold
+    makes the association order layout-free, as Lucene's fixed
+    clause-order summation is."""
+    other = build_index(spark, corpus_df, str(tmp_path / "idx7"), index_cfg,
+                        shards=7)
+    q = "parse json config"
+    for qcfg in (QueryConfig(),                               # driver path
+                 QueryConfig(driver_score_max_postings=0),    # fused
+                 QueryConfig(driver_score_max_postings=0,
+                             fused_stats=False),              # exhaustive
+                 QueryConfig(use_wand=True)):                 # WAND
+        a = SearchEngine(spark, built_index.root, qcfg)
+        b = SearchEngine(spark, other.root, qcfg)
+        got = [(r["doc_id"], r["score"]) for r in a.match_query(q).collect()]
+        want = [(r["doc_id"], r["score"]) for r in b.match_query(q).collect()]
+        assert got == want and got, qcfg

@@ -33,7 +33,12 @@ def test_match_query_plan(spark, engine):
     assert "PushedFilters: [In(term" in plan, "term filter must reach the scan"
     assert "BroadcastHashJoin" in plan, "clause frame must broadcast"
     assert "TakeOrderedAndProject" in plan, "top-k must not be a global sort"
-    assert "partial_sum" in plan, "map-side combine expected before shuffle"
+    # r6: multi-term scoring folds per-doc contributions via
+    # array_sort(collect_list(s)) for layout-independent sums — the map-side
+    # combine is then a partial_collect_list (still ≤ n_query_terms doubles
+    # per doc crossing the exchange); single-term queries keep partial_sum
+    assert ("partial_sum" in plan or "partial_collect_list" in plan), \
+        "map-side combine expected before shuffle"
     # column pruning: match scoring never reads the positions arrays
     scan = plan.split("Scan parquet")[1].split("(2)")[0]
     assert "positions" not in scan, "positions must be pruned from the scan"

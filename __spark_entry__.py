@@ -1199,7 +1199,13 @@ HAVING count(DISTINCT e.widx) >= 2
 ORDER BY 2 DESC, 1 ASC LIMIT 50"""
     # r6: match on the url field — docs-only (tf ≡ 1) + norms-free
     # (tf_norm = 1/(1+k1)); the url column is synthesized identically to
-    # _index_paths' withColumn, tokenized by the url_email idiom
+    # _index_paths' withColumn, tokenized by the url_email idiom.
+    # NB (ADVICE r6 #3): this oracle mirrors the engine's split-on-
+    # [/\-_.:?#=&] APPROXIMATION of ES's url_path_tokenizer (which is a
+    # substitute-don't-resplit pattern_replace filter over [/\-_.] only) —
+    # the gate validates implementation self-consistency, not ES
+    # tokenization parity. Divergence documented at analyzers.py
+    # url_email branch + COVERAGE.md §3.
     o["ft_url_match"] = """
 WITH docs AS (
   SELECT doc_id,

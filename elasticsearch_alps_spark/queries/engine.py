@@ -253,14 +253,26 @@ class SearchEngine:
         one_minus_b = 1.0 - b
         # df is exact: the fetch was complete (budget not tripped)
         df_by_term = pdf["term"].value_counts()
-        weights: Dict[str, float] = {}
         clause_terms: Dict[int, set] = {}
+        jmap = self._canon_jidx(clause_mults)
+        wrows = []
         for cid, t, mult in clause_mults:
             dfv = int(df_by_term.get(t, 0))
             idf = math.log(1.0 + (n - dfv + 0.5) / (dfv + 0.5))
-            weights[t] = weights.get(t, 0.0) + mult * idf
+            wrows.append((t, mult * idf, jmap[(cid, t)]))
             clause_terms.setdefault(cid, set()).add(t)
-        w = pdf["term"].map(weights).to_numpy(dtype=np.float64)
+        # ADVICE r6 #4: one contribution element per (posting row, clause) —
+        # the exact multiset the distributed _grouped_score folds. Collapsing
+        # duplicate-term clause weights into one (w1+w2)·tf element would
+        # diverge by an ulp from the distributed w1·tf + w2·tf fold whenever
+        # a future query type carries unequal per-clause weights for the
+        # same term; the merge below keeps the paths bit-identical for ANY
+        # weights. (Duplicate terms across clauses are rare, so the expanded
+        # frame is the same size as pdf in the common case.)
+        pdf = pdf.merge(pd.DataFrame(wrows, columns=["term", "w", "jidx"]),
+                        on="term", how="inner")
+        n_elems = len(wrows)
+        w = pdf["w"].to_numpy(dtype=np.float64)
         freq = pdf["freq"].to_numpy(dtype=np.float64)
         if self._norms_enabled(field):
             dl = pdf["dl"].to_numpy(dtype=np.float64)
@@ -269,13 +281,19 @@ class SearchEngine:
             contrib = w * (freq / (freq + k1))
         docs = pdf["doc_id"].to_numpy(dtype=np.int64)
         terms_arr = pdf["term"].to_numpy()
-        # canonical fold order (r6, see _det_score_agg): reorder rows so each
-        # doc's contributions accumulate ASCENDING BY VALUE from 0.0 —
-        # np.add.at is sequential per slot, so per-doc addition order is the
-        # row order restricted to that doc. Scores are then bit-identical
-        # across index layouts AND to the fused/exhaustive/WAND folds.
-        if len(weights) > 1:
-            order_ix = np.argsort(contrib, kind="stable")
+        # canonical fold order (r6 find, r7 rework — see _grouped_score):
+        # reorder rows so each doc's contributions accumulate in fixed
+        # (clause_id, term) jidx order from 0.0 — np.add.at is sequential per
+        # slot, so per-doc addition order is the row order restricted to that
+        # doc. Missing jidx slots simply don't add (the distributed fold adds
+        # an exact + 0.0 there), so scores are bit-identical across index
+        # layouts AND to the fused/exhaustive/WAND folds. Above DET_SUM_MAX
+        # pairs, the same ascending-by-value fallback as _grouped_score.
+        if n_elems > 1:
+            if n_elems <= self.DET_SUM_MAX:
+                order_ix = np.argsort(pdf["jidx"].to_numpy(), kind="stable")
+            else:
+                order_ix = np.argsort(contrib, kind="stable")
             docs, contrib = docs[order_ix], contrib[order_ix]
             terms_arr = terms_arr[order_ix]
         uniq, inv = np.unique(docs, return_inverse=True)
@@ -318,48 +336,81 @@ class SearchEngine:
         self.last_scorer = "fused"
         terms = list({t for _, t, _ in clause_mults})
         n, _ = self._fstat(field)
+        jmap = self._canon_jidx(clause_mults)
         cdf = self.spark.createDataFrame(
-            clause_mults, "clause_id int, term string, mult double")
+            [(cid, t, mult, jmap[(cid, t)]) for cid, t, mult in clause_mults],
+            "clause_id int, term string, mult double, jidx int")
         df_col = F.col("df").cast("double")
         idf = F.log(F.lit(1.0) + (F.lit(float(n)) - df_col + F.lit(0.5))
                     / (df_col + F.lit(0.5)))
         wdf = (self._term_stats[field]
                .filter(F.col("term").isin(terms)).select("term", "df")
                .join(F.broadcast(cdf), "term")
-               .select("term", "clause_id", (F.col("mult") * idf).alias("weight")))
+               .select("term", "clause_id", "jidx",
+                       (F.col("mult") * idf).alias("weight")))
         j = (self._postings[field]
              .filter(F.col("term").isin(terms))
              .join(F.broadcast(wdf), "term")
              .withColumn("s", F.col("weight") * self._tf_norm_col(field)))
-        agg = j.groupBy("doc_id").agg(
-            self._det_score_agg(len(terms)),
-            F.countDistinct("clause_id").alias("nmatch"))
+        agg = self._grouped_score(j, len(clause_mults), required)
         if required > 1:
             agg = agg.filter(F.col("nmatch") >= required)
         agg, obs = self._observe_total(agg)
         return (agg.select("doc_id", "score")
                    .orderBy(F.desc("score"), F.asc("doc_id")).limit(size))
 
+    # (clause, term) pairs above which the clause-order fold falls back to
+    # the r6 ascending-value collect_list fold: the conditional-sum
+    # projection widens the agg buffer by one double per pair, so very fat
+    # expansions (≫ typical fuzzy-multiword) keep the compact path
+    DET_SUM_MAX = 64
+
     @staticmethod
-    def _det_score_agg(n_distinct_terms: int):
-        """Per-doc score aggregation with a canonical fold order (r6): sum
-        the term contributions ASCENDING BY VALUE from 0.0. The fold then
-        depends only on the multiset of contributions — which is
-        layout-invariant — so a merged index scores bit-identically to a
-        rebuilt one (caught by the 10M-doc merge parity run: Spark's
-        partial-agg sum folds in scan-layout order, and an ulp difference
-        reorders docs inside top-k tie plateaus; Lucene is deterministic
-        here via its fixed clause-order sums). Doubles-only payload: the
-        exchange ships ≤ n_query_terms doubles per doc, no term strings.
-        Equal values commute, so ties need no tiebreak. Single-term
-        queries keep the primitive sum (one element — order-free and
-        cheaper). The driver (_score_clauses_driver) and WAND
-        (wand._bucket_wand) scorers use the same ascending-value fold."""
-        if n_distinct_terms <= 1:
-            return F.sum("s").alias("score")
-        return F.aggregate(
-            F.array_sort(F.collect_list("s")),
-            F.lit(0.0), lambda acc, x: acc + x).alias("score")
+    def _canon_jidx(clause_rows) -> Dict[Tuple[int, str], int]:
+        """Canonical fold position for every (clause_id, term) pair: rank in
+        the (clause_id, term)-sorted order — a pure function of the QUERY
+        (independent of expansion-collection order and of index layout),
+        mirroring Lucene's fixed clause-iteration determinism."""
+        pairs = sorted((cid, t) for cid, t, *_ in clause_rows)
+        assert len(set(pairs)) == len(pairs), \
+            "duplicate (clause_id, term) pair — callers must pre-merge weights"
+        return {p: i for i, p in enumerate(pairs)}
+
+    def _grouped_score(self, j: DataFrame, m: int, required: int) -> DataFrame:
+        """Per-doc score with a canonical fold order (r6 find, r7 rework —
+        VERDICT r6 next #2): fold the ≤ m contributions in fixed
+        (clause_id, term) order. Each (doc, jidx) has AT MOST ONE posting
+        row (postings are unique per (term, doc); the clause frame is unique
+        per (clause_id, term)), so every per-jidx ``sum(when(jidx=i, s))``
+        aggregates a single element — order-free — and the left-associated
+        projection sum over jidx 0..m−1 is deterministic. Missing clauses
+        contribute an exact ``+ 0.0`` (IEEE: x + 0.0 ≡ x for x ≥ 0), so the
+        fold equals the driver/WAND fold of only-present contributions in
+        jidx order, bit for bit. Unlike the r6 ascending-value
+        collect_list fold this keeps streaming ``partial_sum`` map-side
+        combines and whole-stage codegen (the r6 fold shipped every
+        contribution double through an ObjectHashAggregate — forced-
+        exhaustive hot-term queries ran ~4× slower). Above DET_SUM_MAX
+        pairs the compact ascending-value fold returns (both are
+        layout-invariant; the driver path switches on the same constant so
+        cross-path bit-identity holds per query)."""
+        if m <= 1:
+            return j.groupBy("doc_id").agg(
+                F.sum("s").alias("score"),
+                F.countDistinct("clause_id").alias("nmatch"))
+        if m <= self.DET_SUM_MAX:
+            sums = [F.sum(F.when(F.col("jidx") == i, F.col("s"))).alias(f"_s{i}")
+                    for i in range(m)]
+            agg = j.groupBy("doc_id").agg(
+                *sums, F.countDistinct("clause_id").alias("nmatch"))
+            score = F.coalesce(F.col("_s0"), F.lit(0.0))
+            for i in range(1, m):
+                score = score + F.coalesce(F.col(f"_s{i}"), F.lit(0.0))
+            return agg.select("doc_id", score.alias("score"), "nmatch")
+        return j.groupBy("doc_id").agg(
+            F.aggregate(F.array_sort(F.collect_list("s")),
+                        F.lit(0.0), lambda acc, x: acc + x).alias("score"),
+            F.countDistinct("clause_id").alias("nmatch"))
 
     def _observe_total(self, matches: DataFrame) -> Tuple[DataFrame, "object"]:
         """Attach a row-count Observation to the full-match plan: the top-k
@@ -380,15 +431,15 @@ class SearchEngine:
             return self._empty_hits()
         self.last_scorer = "exhaustive"
         terms = list({t for _, t, _ in clauses})
+        jmap = self._canon_jidx(clauses)
         cdf = self.spark.createDataFrame(
-            clauses, "clause_id int, term string, weight double")
+            [(cid, t, w, jmap[(cid, t)]) for cid, t, w in clauses],
+            "clause_id int, term string, weight double, jidx int")
         j = (self._postings[field]
              .filter(F.col("term").isin(terms))  # pushed into the parquet scan
              .join(F.broadcast(cdf), "term")
              .withColumn("s", F.col("weight") * self._tf_norm_col(field)))
-        agg = j.groupBy("doc_id").agg(
-            self._det_score_agg(len(terms)),
-            F.countDistinct("clause_id").alias("nmatch"))
+        agg = self._grouped_score(j, len(clauses), required)
         if required > 1:
             agg = agg.filter(F.col("nmatch") >= required)
         agg, obs = self._observe_total(agg)
@@ -451,11 +502,29 @@ class SearchEngine:
         whose 50k-th term is that hot). WAND also needs the packed blocks
         on disk."""
         mode = self.qcfg.use_wand
-        if mode != "auto":
-            return bool(mode)
         src = self._field_src.get(field, field)
         packed = self.paths.packed(src)
-        if "://" not in packed and not os.path.exists(packed):
+        has_packed = "://" in packed or os.path.exists(packed)
+        if mode != "auto":
+            # ADVICE r6 #2: an explicit use_wand=True must not sail past the
+            # auto-mode guards — WAND needs the packed blocks on disk, and
+            # its max-score bounds use the norms/dl BM25 formula, which is
+            # WRONG for a norms-free field (ExtraField builds both ways:
+            # build_packed=False, norms=False).
+            if mode and not self._norms_enabled(field):
+                raise ValueError(
+                    f"use_wand=True is invalid for field {field!r}: norms "
+                    "are disabled (docs-only scoring), and WAND's max-score "
+                    "bounds assume the norms/dl BM25 formula. Use "
+                    "use_wand=False or 'auto' (auto never picks WAND here).")
+            if mode and not has_packed:
+                raise ValueError(
+                    f"use_wand=True but field {field!r} has no packed "
+                    f"blocks at {packed} (index built with "
+                    "build_packed=False?). Rebuild with build_packed=True "
+                    "or use use_wand=False / 'auto'.")
+            return bool(mode)
+        if not has_packed or not self._norms_enabled(field):
             return False
         thresh = self.qcfg.wand_auto_min_df
         if thresh is None:  # env pin → build-time sidecar → process probe
@@ -518,10 +587,17 @@ class SearchEngine:
         if required > 1:
             recount = recount.filter(F.col("nmatch") >= required)
         self._set_total(df=recount.select("doc_id"))
+        # canonical clause-order fold (r7, see _grouped_score): WAND folds
+        # each doc's contributions in the same (clause_id, term) jidx order
+        # as the DataFrame scorers, so pruned results stay bit-identical
+        jmap = self._canon_jidx(clauses)
+        term_order = ({t: jmap[(cid, t)] for cid, t, _ in clauses}
+                      if len(clauses) <= self.DET_SUM_MAX else None)
         return wand_topk(self.spark, self.paths.packed(src),
                          self.paths.field_dir(src), clauses, size,
                          self.k1, self.b, avgdl, required,
-                         packed_df=packed_df, n_buckets=n_buckets)
+                         packed_df=packed_df, n_buckets=n_buckets,
+                         term_order=term_order)
 
     def _phrase_driver(self, field: str, terms, offsets, uniq, dfs,
                        idf_sum: float, slop: int,

@@ -39,13 +39,14 @@ class _TermIterator:
     """Cursor over one term's packed blocks within one bucket (docID-sorted)."""
 
     __slots__ = ("weight", "blocks", "bi", "docs", "tf_norms", "pos", "cur",
-                 "max_ub", "block_ub", "_k1", "_b", "_avgdl")
+                 "max_ub", "block_ub", "_k1", "_b", "_avgdl", "jidx")
 
     def __init__(self, blocks: List[dict], weight: float, k1: float, b: float,
-                 avgdl: float):
+                 avgdl: float, jidx: int = 0):
         # blocks: list of dicts with docs/freqs/dls bytes + max_tf_norm,
         # ordered by (bucket-local) first_doc
         self.weight = weight
+        self.jidx = jidx  # canonical fold position (engine._canon_jidx)
         self.blocks = blocks
         self.bi = -1
         self.docs: np.ndarray = np.empty(0, dtype=np.int64)
@@ -116,7 +117,8 @@ class _TermIterator:
 
 def _bucket_wand(term_blocks: Dict[str, List[dict]], weights: Dict[str, float],
                  k: int, k1: float, b: float, avgdl: float,
-                 required: int = 1) -> List[Tuple[int, float]]:
+                 required: int = 1,
+                 term_order: Dict[str, int] = None) -> List[Tuple[int, float]]:
     """Classic WAND with block-max bounds over one bucket; returns local top-k.
 
     ``required`` > 1 = the conjunctive/minimum-should-match extension (r2,
@@ -126,7 +128,8 @@ def _bucket_wand(term_blocks: Dict[str, List[dict]], weights: Dict[str, float],
     ``iters[required-1].cur`` exists in fewer than ``required`` lists (the
     cursors beyond the pivot are all past it) and is skipped without
     decoding. Lossless: asserted result-identical to the exhaustive scorer."""
-    iters = [_TermIterator(blks, weights[t], k1, b, avgdl)
+    iters = [_TermIterator(blks, weights[t], k1, b, avgdl,
+                           jidx=(term_order or {}).get(t, 0))
              for t, blks in term_blocks.items() if t in weights and blks]
     iters = [it for it in iters if it.cur != _SENTINEL]
     heap: List[Tuple[float, int]] = []  # min-heap of (score, -doc_id)
@@ -167,13 +170,19 @@ def _bucket_wand(term_blocks: Dict[str, List[dict]], weights: Dict[str, float],
                         it.next_doc()
                 iters = [it for it in live if it.cur != _SENTINEL]
                 continue
-            # canonical fold order (r6): sum the matching terms' contributions
-            # ASCENDING BY VALUE from 0.0 — the same association every other
-            # scorer uses (engine._det_score_agg) — so WAND scores are
-            # bit-identical to the exhaustive/fused/driver paths and
-            # independent of index layout
-            contribs = sorted(it.score_cur() for it in live
-                              if it.cur == pivot_doc)
+            # canonical fold order (r6 find, r7 rework): sum the matching
+            # terms' contributions in fixed (clause_id, term) jidx order
+            # from 0.0 — the same association every other scorer uses
+            # (engine._grouped_score) — so WAND scores are bit-identical to
+            # the exhaustive/fused/driver paths and independent of index
+            # layout. term_order=None (≫ DET_SUM_MAX pairs) falls back to
+            # the ascending-value fold, matching _grouped_score's fallback.
+            matching = [it for it in live if it.cur == pivot_doc]
+            if term_order is None:
+                contribs = sorted(it.score_cur() for it in matching)
+            else:
+                contribs = [it.score_cur()
+                            for it in sorted(matching, key=lambda x: x.jidx)]
             score = 0.0
             for c in contribs:
                 score += c
@@ -203,7 +212,8 @@ def wand_topk(spark: SparkSession, packed_path: str, field_dir: str,
               clauses: List[Tuple[int, str, float]], size: int,
               k1: float, b: float, avgdl: float,
               required: int = 1, packed_df: DataFrame = None,
-              n_buckets: int = None) -> DataFrame:
+              n_buckets: int = None,
+              term_order: Dict[str, int] = None) -> DataFrame:
     """Distributed block-max WAND: per-bucket local top-k via mapInPandas,
     then a global TakeOrderedAndProject. ``required`` > 1 enables the
     conjunctive/msm variant (one clause per distinct term — the match-query
@@ -246,7 +256,7 @@ def wand_topk(spark: SparkSession, packed_path: str, field_dir: str,
             for t, tp in bucket_pdf.groupby("term", sort=False):
                 term_blocks[t] = tp.to_dict("records")
             for doc_id, score in _bucket_wand(term_blocks, weights, k, k1, b,
-                                              avgdl, required):
+                                              avgdl, required, term_order):
                 out_docs.append(doc_id)
                 out_scores.append(score)
         yield pd.DataFrame({"doc_id": pd.Series(out_docs, dtype="int64"),

@@ -474,11 +474,26 @@ class TestSimSearch:
         assert spark.read.parquet(os.path.join(idx, "codes")).count() \
             == n_total  # ...but the codes job committed
 
-        codes, _, _, meta = load_ann_index(spark, idx)  # reconciles
+        # r7 (ADVICE r6 #1): a READER reconciles in memory only — it must
+        # not destroy the writer's crash marker or write on what may be
+        # read-only storage.
+        codes, _, _, meta = load_ann_index(spark, idx)
         assert meta["n_vecs"] == n_total
-        assert not os.path.exists(marker)
         assert meta["lineage"]["appends"][-1]["n_vecs_after"] == n_total
         assert "reconciled_unix" in meta["lineage"]["appends"][-1]
+        assert meta["lineage"]["appends"][-1]["durable"] is False
+        assert os.path.exists(marker)  # marker untouched by the reader
+        still_stale = json.load(open(os.path.join(idx, "ann_meta.json")))
+        assert still_stale["n_vecs"] == n1  # disk meta untouched too
+        # the single WRITER makes the heal durable: an append (empty delta
+        # here) persists the reconciled count and clears the marker
+        assert append_to_ann_index(spark, idx, half2.limit(0)) == 0
+        assert not os.path.exists(marker)
+        healed = json.load(open(os.path.join(idx, "ann_meta.json")))
+        assert healed["n_vecs"] == n_total
+        recon = [a for a in healed["lineage"]["appends"]
+                 if "reconciled_unix" in a]
+        assert recon and recon[-1]["durable"] is True
         # and the reconciled index serves exactly like a clean full build
         full = build_ann_index(emb, str(tmp_path / "cfull"), n_centroids=8,
                                m=8, n_codes=16, centroids=cent, codebooks=cb)

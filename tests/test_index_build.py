@@ -236,3 +236,28 @@ def test_extra_url_field_build_and_query(spark, corpus_df, tmp_path):
     assert eng_drv.last_scorer == "driver"
     assert [(r["doc_id"], round(r["score"], 9)) for r in drv] == \
         [(r["doc_id"], round(r["score"], 9)) for r in hits]
+    # ADVICE r6 #2: explicit use_wand=True must not reach _wand for a
+    # norms-free ExtraField (WAND's max-score bounds assume the norms/dl
+    # formula) — clear error, not a raw parquet-not-found
+    eng_w = SearchEngine(spark, paths.root, QueryConfig(use_wand=True))
+    with pytest.raises(ValueError, match="norms"):
+        eng_w.match_query("example py", field="url").collect()
+    # auto never routes a norms-free field to WAND, whatever the df
+    eng_a = SearchEngine(spark, paths.root,
+                         QueryConfig(use_wand="auto", wand_auto_min_df=1,
+                                     driver_score_max_postings=0))
+    eng_a.match_query("example py", field="url").collect()
+    assert eng_a.last_scorer != "wand"
+
+
+def test_explicit_wand_without_packed_blocks_is_a_clear_error(
+        spark, corpus_df, tmp_path):
+    """ADVICE r6 #2 (other half): use_wand=True against an index built with
+    build_packed=False fails with an actionable message."""
+    from elasticsearch_alps_spark.config import IndexConfig, QueryConfig
+    from elasticsearch_alps_spark.queries.engine import SearchEngine
+    paths = build_index(spark, corpus_df, str(tmp_path / "idx_nopack"),
+                        IndexConfig(build_packed=False), shards=2)
+    eng = SearchEngine(spark, paths.root, QueryConfig(use_wand=True))
+    with pytest.raises(ValueError, match="packed"):
+        eng.match_query("def").collect()

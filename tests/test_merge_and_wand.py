@@ -274,6 +274,21 @@ class TestWandAuto:
         assert calibrate.resolve_min_df(spark, str(tmp_path)) \
             == calibrate.calibrated_min_df(spark)
 
+    def test_malformed_env_pin_falls_through(self, spark, built_index,
+                                             monkeypatch):
+        # ADVICE r6 #5: a malformed ALPS_WAND_MIN_DF must not crash every
+        # auto-mode query — it warns and falls through to the sidecar
+        import json
+        import os
+
+        from elasticsearch_alps_spark.queries import calibrate
+        p = os.path.join(built_index.lineage_dir, calibrate.SIDECAR)
+        want = json.load(open(p))["wand_auto_min_df"]
+        monkeypatch.setenv(calibrate.ENV_PIN, "not-a-number")
+        with pytest.warns(UserWarning, match="malformed"):
+            got = calibrate.resolve_min_df(spark, built_index.lineage_dir)
+        assert got == want
+
     def test_auto_env_pin_reaches_scorer_choice(self, spark, built_index,
                                                 monkeypatch):
         # end-to-end: ALPS_WAND_MIN_DF=5 with the default None config must
@@ -325,3 +340,25 @@ def test_scores_independent_of_index_layout(spark, corpus_df, index_cfg,
         got = [(r["doc_id"], r["score"]) for r in a.match_query(q).collect()]
         want = [(r["doc_id"], r["score"]) for r in b.match_query(q).collect()]
         assert got == want and got, qcfg
+
+
+def test_fallback_fold_above_det_sum_max_stays_cross_path_identical(
+        spark, built_index, monkeypatch):
+    """r7 (VERDICT r6 next #2): above DET_SUM_MAX (clause, term) pairs every
+    path falls back to the r6 ascending-value fold — the switch is a pure
+    function of the QUERY, so driver/fused/exhaustive/WAND must still agree
+    bit-for-bit with each other below AND above the threshold."""
+    q = "parse json config"  # 3 pairs > the pinned threshold of 2
+    monkeypatch.setattr(SearchEngine, "DET_SUM_MAX", 2)
+    exhaustive = SearchEngine(spark, built_index.root,
+                              QueryConfig(use_wand=False, fused_stats=False,
+                                          driver_score_max_postings=0))
+    wand = SearchEngine(spark, built_index.root, QueryConfig(use_wand=True))
+    driver = SearchEngine(spark, built_index.root,
+                          QueryConfig(fused_stats=False))
+    want = _ranked(exhaustive.match_query(q).collect())
+    assert exhaustive.last_scorer == "exhaustive"
+    got_w = _ranked(wand.match_query(q).collect())
+    got_d = _ranked(driver.match_query(q).collect())
+    assert driver.last_scorer == "driver"
+    assert want and got_w == want and got_d == want

@@ -33,12 +33,16 @@ def test_match_query_plan(spark, engine):
     assert "PushedFilters: [In(term" in plan, "term filter must reach the scan"
     assert "BroadcastHashJoin" in plan, "clause frame must broadcast"
     assert "TakeOrderedAndProject" in plan, "top-k must not be a global sort"
-    # r6: multi-term scoring folds per-doc contributions via
-    # array_sort(collect_list(s)) for layout-independent sums — the map-side
-    # combine is then a partial_collect_list (still ≤ n_query_terms doubles
-    # per doc crossing the exchange); single-term queries keep partial_sum
-    assert ("partial_sum" in plan or "partial_collect_list" in plan), \
-        "map-side combine expected before shuffle"
+    # r7 (VERDICT r6 next #2): multi-term scoring folds per-doc
+    # contributions via per-(clause,term) conditional sums in canonical
+    # jidx order — layout-invariant like the r6 collect_list fold, but the
+    # map-side combine is a TRUE streaming partial_sum again (the r6 fold
+    # shipped every contribution double via partial_collect_list through an
+    # ObjectHashAggregate, ~4× slower on forced-exhaustive hot terms)
+    assert "partial_sum" in plan, \
+        "streaming partial_sum map-side combine expected before shuffle"
+    assert "partial_collect_list" not in plan, \
+        "multi-term fold must not ship raw contribution lists"
     # column pruning: match scoring never reads the positions arrays
     scan = plan.split("Scan parquet")[1].split("(2)")[0]
     assert "positions" not in scan, "positions must be pruned from the scan"

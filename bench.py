@@ -29,6 +29,25 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
+def _host_probe() -> dict:
+    """Load averages + aggregate /proc/stat jiffies. Recorded at bench start
+    and end (VERDICT r6 next #7): this host's co-tenant drift has inflated
+    or deflated whole rounds by ±40%, and adjudicating 'code regression vs
+    drift' needs load evidence IN the emission, not an after-the-fact ABA."""
+    la = os.getloadavg()
+    out = {"load1": round(la[0], 2), "load5": round(la[1], 2),
+           "load15": round(la[2], 2)}
+    try:
+        with open("/proc/stat") as f:
+            vals = [int(x) for x in f.readline().split()[1:]]
+        # busy = everything but idle+iowait, in jiffies across ALL cpus
+        out["cpu_total_jiffies"] = sum(vals)
+        out["cpu_idle_jiffies"] = vals[3] + (vals[4] if len(vals) > 4 else 0)
+    except OSError:
+        pass
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -38,8 +57,14 @@ def main() -> None:
     from pyspark.sql import SparkSession
     from elasticsearch_alps_spark.config import IndexConfig, QueryConfig
     from elasticsearch_alps_spark.fixtures import (
-        documents_df_distributed, REFERENCE_QUERIES,
+        documents_df_distributed, nl_documents_df_distributed, NL_QUERIES,
+        REFERENCE_QUERIES,
     )
+
+    # ALPS_BENCH_CORPUS=nl (r7, VERDICT r6 next #8): the natural-language
+    # long-doc shape — ~10× tokens/doc, stopword/stemmer-heavy — with its
+    # own query set; default stays the code corpus so rounds compare.
+    corpus = os.environ.get("ALPS_BENCH_CORPUS", "code")
     from elasticsearch_alps_spark.indexing.builder import build_index
     from elasticsearch_alps_spark.queries.engine import SearchEngine
     from elasticsearch_alps_spark.session import ship_package
@@ -58,14 +83,25 @@ def main() -> None:
 
     out = tempfile.mkdtemp(prefix="alps_bench_idx_")
     queries: dict[str, float] = {}
+    host0 = _host_probe()
     t_total0 = time.time()
     try:
         # ---- indexing throughput ----
         # corpus generated ON the executors (scales with cores) and
         # materialized to parquet first so generation isn't timed as indexing
         src = os.path.join(out, "src_docs")
-        documents_df_distributed(spark, n_docs, seed=42).write.parquet(src)
+        gen = (nl_documents_df_distributed if corpus == "nl"
+               else documents_df_distributed)
+        gen(spark, n_docs, seed=42).write.parquet(src)
         docs = spark.read.parquet(src)
+        ref_queries = NL_QUERIES if corpus == "nl" else REFERENCE_QUERIES
+        mixed_queries = (("search", "document", "distribute processing",
+                          "cluster training") if corpus == "nl"
+                         else ("def", "import", "parse json config",
+                               "def main"))
+        wand_queries = (("search", "document", "distribute processing")
+                        if corpus == "nl"
+                        else ("def", "import", "parse json config"))
         # identical job at every parallelism level: the shard/partition count
         # is FIXED (a real cluster keeps its layout when executors scale);
         # only the executor thread count varies between scaling legs
@@ -89,7 +125,7 @@ def main() -> None:
         eng.match_query("def").collect()  # warm caches / JVM
         lat_ms = []
         by_type: dict[str, list] = {"match": [], "phrase": [], "fuzzy": []}
-        for i, q in enumerate(REFERENCE_QUERIES):
+        for i, q in enumerate(ref_queries):
             for qtype, fn in (("match", lambda t: eng.match_query(t)),
                               ("phrase", lambda t: eng.match_phrase_query(t)),
                               ("fuzzy", lambda t: eng.fuzzy_query(t))):
@@ -100,7 +136,7 @@ def main() -> None:
                 lat_ms.append(dt * 1000)
         # WAND match path on the hottest terms
         wand_s = []
-        for q in ("def", "import", "parse json config"):
+        for q in wand_queries:
             t0 = time.time()
             wand.match_query(q).collect()
             wand_s.append(time.time() - t0)
@@ -113,7 +149,7 @@ def main() -> None:
         # use_wand="auto" (r4): mixed hot+rare set, three scorer configs with
         # the driver path disabled so the DISTRIBUTED scorers are compared —
         # auto must track the better of the two per query
-        mixed = ("def", "import", "parse json config", "def main")
+        mixed = mixed_queries
         # pin the auto-scorer crossover for the bench (ADVICE r5: a
         # load-dependent probe makes recorded numbers nonreproducible);
         # 200k = the dev-box-measured anchor (queries/calibrate.py)
@@ -145,6 +181,17 @@ def main() -> None:
         p50 = statistics.median(lat_ms)
         queries["mixed_section_sec"] = round(time.time() - t_total0 - t_core, 3)
         total = t_core
+        host1 = _host_probe()
+        host = {"load1_start": host0["load1"], "load5_start": host0["load5"],
+                "load15_start": host0["load15"], "load1_end": host1["load1"],
+                "load5_end": host1["load5"]}
+        if "cpu_total_jiffies" in host0 and "cpu_total_jiffies" in host1:
+            dt_total = host1["cpu_total_jiffies"] - host0["cpu_total_jiffies"]
+            dt_idle = host1["cpu_idle_jiffies"] - host0["cpu_idle_jiffies"]
+            if dt_total > 0:
+                # whole-box busy share over the run — external-tenant bursts
+                # show up here even when loadavg lags them
+                host["cpu_busy_frac"] = round(1.0 - dt_idle / dt_total, 3)
         print(json.dumps({
             "metric": "index_build_plus_query_p50",
             "value": round(total, 3),
@@ -155,6 +202,8 @@ def main() -> None:
             "indexed_docs": indexed,
             "query_p50_ms": round(p50, 2),
             "cpus": cpus,
+            "corpus": corpus,
+            "host": host,
         }, separators=(",", ":")))
     finally:
         spark.stop()

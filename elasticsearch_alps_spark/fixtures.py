@@ -107,6 +107,74 @@ def documents_df_distributed(spark, n: int, seed: int = 42,
             .mapInPandas(gen, DOC_SCHEMA))
 
 
+# ---- natural-language long-doc corpus (r7, VERDICT r6 next #8) ----
+# The code-like corpus above is short-doc (~60 tokens) with a mostly
+# stem-free vocabulary, so the analyzer memo + Porter + stopword chain sits
+# under the bench noise floor. This shape is the opposite: ~10× longer
+# docs, ~35% stopwords, and every content word inflected from a stem pool —
+# the stemmer-heavy English-prose profile of a web-scale text pipeline.
+_NL_STOP = ["the", "of", "and", "a", "to", "in", "is", "was", "that", "it",
+            "for", "on", "with", "as", "be", "at", "by", "this", "not",
+            "are", "but", "from", "or", "have", "an", "they", "which"]
+_NL_STEMS = ["run", "connect", "optimize", "analyze", "index", "search",
+             "document", "process", "generate", "compute", "distribute",
+             "measure", "partition", "aggregate", "stream", "cluster",
+             "train", "sample", "filter", "transform", "encode", "retrieve",
+             "evaluate", "publish", "describe", "relate", "nation",
+             "operate", "create", "iterate"]
+_NL_SUFFIX = ["", "s", "d", "r", "rs"]  # stem-safe inflections
+
+
+def generate_nl_row(i: int, seed: int = 42) -> Tuple[str, str, str, str, str]:
+    """One deterministic natural-language row, per-row seeded like
+    :func:`generate_row` (local ≡ distributed)."""
+    rng = random.Random(f"nl:{seed}:{i}")
+    lang = "en"
+    repo = f"site{i % 11}/crawl{i % 31}"
+    path = f"pages/sec{i % 13}/page_{i}.html"
+    commit = hashlib.sha1(f"nl{i}".encode()).hexdigest()
+    sents: List[str] = []
+    n_sent = 30 + rng.randrange(60)
+    for _ in range(n_sent):
+        toks: List[str] = []
+        for _ in range(8 + rng.randrange(8)):
+            if rng.random() < 0.35:
+                toks.append(rng.choice(_NL_STOP))
+            else:
+                sidx = min(int(rng.paretovariate(1.3)) - 1,
+                           len(_NL_STEMS) - 1)
+                toks.append(_NL_STEMS[sidx] + rng.choice(_NL_SUFFIX))
+        if rng.random() < 0.05:
+            toks.append(f"uniqnl_{i}_{len(sents)}")
+        sents.append(" ".join(toks) + ".")
+    return (repo, path, commit, lang, " ".join(sents))
+
+
+def nl_documents_df_distributed(spark, n: int, seed: int = 42,
+                                partitions: int = None):
+    """Executor-side generation of the NL long-doc corpus."""
+    import pandas as pd
+
+    parts = partitions or spark.sparkContext.defaultParallelism
+
+    def gen(batches):
+        for pdf in batches:
+            rows = [generate_nl_row(int(i), seed) for i in pdf["id"]]
+            yield pd.DataFrame(rows, columns=["repo", "path", "commit",
+                                              "lang", "content"])
+
+    return (spark.range(n).repartition(parts)
+            .mapInPandas(gen, DOC_SCHEMA))
+
+
+# NL-corpus query set: stems + inflections + stopword-heavy phrases
+NL_QUERIES = [
+    "search", "indexes", "optimized", "distribute processing",
+    "the search of the document", "cluster training", "connect",
+    "aggregated streams", "retrieval evaluation", "uniqnl_100_1",
+]
+
+
 # Reference query set per repo:FIXTURES.md §2 — one string per line, format per
 # /root/reference/scripts/search/search.py:636-668.
 REFERENCE_QUERIES = [

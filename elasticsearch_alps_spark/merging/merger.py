@@ -63,6 +63,13 @@ def merge_indexes(spark: SparkSession, index_dirs: List[str], out_dir: str,
     for s in stats[1:]:
         if list(s["fields"]) != fields:
             raise ValueError("cannot merge indexes with different field sets")
+        for f in fields:
+            for k in ("analyzer", "index_options", "norms", "alias"):
+                if stats[0]["fields"][f].get(k) != s["fields"][f].get(k):
+                    raise ValueError(
+                        f"cannot merge: field {f!r} differs on {k!r} "
+                        f"({stats[0]['fields'][f].get(k)!r} vs "
+                        f"{s['fields'][f].get(k)!r})")
     # The cumulative-offset docID rebase below assumes engine-assigned dense
     # IDs. A segment built with a USER-supplied doc_id_col carries meaningful
     # external IDs: rebasing would silently rewrite them, and the same logical
@@ -122,6 +129,14 @@ def merge_indexes(spark: SparkSession, index_dirs: List[str], out_dir: str,
             "n_docs": n_docs, "cf_total": cf_total, "avgdl": avgdl,
             "analyzer": stats[0]["fields"][field]["analyzer"],
         }
+        # ExtraField metadata must survive a merge (r7, VERDICT r6 next #5 —
+        # found by the extra-field merge≡rebuild test): norms /
+        # index_options select the engine's scoring branch; dropping them
+        # defaulted norms to True, scoring a docs-only field with the
+        # norms/dl formula after any merge.
+        for k in ("index_options", "norms"):
+            if k in stats[0]["fields"][field]:
+                field_stats[field][k] = stats[0]["fields"][field][k]
         if cfg.build_packed and field == "main":  # WAND only runs on main
             _build_packed(spark, written, out, field, cfg, avgdl, n_docs)
         # exact count verification (reference uses a ≥90% bar, merge.py:202)

@@ -66,6 +66,66 @@ def test_merged_index_queries_identical(spark, split_indexes):
         assert got == want, q
 
 
+def test_merge_preserves_extra_fields(spark, tmp_path):
+    """r7 (VERDICT r6 next #5): a segment merge of an index with an
+    ExtraField must carry the field's postings AND its scoring metadata —
+    the r6 merger rebuilt per-field stats with only
+    n_docs/cf_total/avgdl/analyzer, silently dropping norms=False /
+    index_options="docs", so every post-merge url-field query would have
+    scored with the norms/dl formula. Requires bit-exact url-field query
+    parity between merged and rebuilt."""
+    from elasticsearch_alps_spark.config import ExtraField, URL_ANALYZER
+
+    rows = sorted(generate_documents(200, seed=11),
+                  key=lambda r: (r[0], r[1], r[2]))
+    half = len(rows) // 2
+    schema = "repo string, path string, commit string, lang string, content string"
+
+    def docs(rs):
+        return (spark.createDataFrame(rs, schema)
+                .withColumn("url", F.concat(F.lit("https://host.example.com/"),
+                                            F.col("lang"), F.lit("/"),
+                                            F.col("path"))))
+
+    cfg = IndexConfig(extra_fields=(ExtraField("url", "url", URL_ANALYZER),))
+    pa = build_index(spark, docs(rows[:half]), str(tmp_path / "a"), cfg,
+                     shards=2)
+    pb = build_index(spark, docs(rows[half:]), str(tmp_path / "b"), cfg,
+                     shards=3)
+    pall = build_index(spark, docs(rows), str(tmp_path / "all"), cfg,
+                       shards=2)
+    merged = merge_indexes(spark, [pa.root, pb.root], str(tmp_path / "m"),
+                           cfg, shards=2)
+    # postings parity for the extra field
+    assert _postings_set(spark, merged.postings("url")) == \
+        _postings_set(spark, pall.postings("url"))
+    # the scoring metadata survived (the actual r6 bug)
+    ms, ps = merged.read_stats(), pall.read_stats()
+    for k in ("n_docs", "cf_total", "analyzer", "norms", "index_options"):
+        assert ms["fields"]["url"].get(k) == ps["fields"]["url"].get(k), k
+    assert ms["fields"]["url"]["norms"] is False
+    assert ms["fields"]["url"]["index_options"] == "docs"
+    # bit-exact url-field query parity, both serving paths
+    for qcfg in (QueryConfig(fused_stats=False),                # driver
+                 QueryConfig(driver_score_max_postings=0,
+                             fused_stats=False)):               # exhaustive
+        em = SearchEngine(spark, merged.root, qcfg)
+        ea = SearchEngine(spark, pall.root, qcfg)
+        got = [(r["doc_id"], r["score"])
+               for r in em.match_query("example py", field="url").collect()]
+        want = [(r["doc_id"], r["score"])
+                for r in ea.match_query("example py", field="url").collect()]
+        assert got == want and got, qcfg
+    # and a merge of INCOMPATIBLE field configs refuses loudly
+    plain = build_index(spark, docs(rows[:half]), str(tmp_path / "plain"),
+                        IndexConfig(extra_fields=(
+                            ExtraField("url", "url", URL_ANALYZER,
+                                       norms=True),)), shards=2)
+    with pytest.raises(ValueError, match="differs on"):
+        merge_indexes(spark, [pa.root, plain.root], str(tmp_path / "bad"),
+                      cfg, shards=2)
+
+
 def test_merge_resume_marker(spark, split_indexes, tmp_path):
     merged, _ = split_indexes
     # re-merging with resume=True is a no-op (marker exists)
@@ -273,6 +333,58 @@ class TestWandAuto:
         # no env, no sidecar → falls back to the (cached) process probe
         assert calibrate.resolve_min_df(spark, str(tmp_path)) \
             == calibrate.calibrated_min_df(spark)
+
+    def test_sidecar_serves_fresh_process_without_probe(self, built_index):
+        """r7 (VERDICT r6 next #6): a FRESH serving process with no env pin
+        must inherit the build-time calibration sidecar — threshold equals
+        the sidecar value and the per-process probe never runs
+        (calibrate._PROBE_CACHE stays empty). Subprocess, not monkeypatch:
+        this is the cross-process contract the sidecar exists for."""
+        import json
+        import os
+        import subprocess
+        import sys
+        import textwrap
+
+        from elasticsearch_alps_spark.queries import calibrate
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        side = json.load(open(os.path.join(built_index.lineage_dir,
+                                           calibrate.SIDECAR)))
+        script = textwrap.dedent(f"""
+            import json, os, sys
+            sys.path.insert(0, {repo!r})
+            os.environ.pop("ALPS_WAND_MIN_DF", None)
+            from pyspark.sql import SparkSession
+            from elasticsearch_alps_spark.session import ship_package
+            from elasticsearch_alps_spark.config import QueryConfig
+            from elasticsearch_alps_spark.queries import calibrate
+            from elasticsearch_alps_spark.queries.engine import SearchEngine
+            spark = (SparkSession.builder.master("local[2]")
+                     .config("spark.sql.shuffle.partitions", "2")
+                     .config("spark.ui.enabled", "false").getOrCreate())
+            ship_package(spark)
+            eng = SearchEngine(spark, {built_index.root!r},
+                               QueryConfig(use_wand="auto",
+                                           driver_score_max_postings=0))
+            eng.match_query("def parse").collect()
+            resolved = calibrate.resolve_min_df(
+                spark, {built_index.lineage_dir!r})
+            print("RESULT:" + json.dumps({{
+                "probe_cache": dict(calibrate._PROBE_CACHE),
+                "resolved": resolved, "scorer": eng.last_scorer}}))
+            spark.stop()
+        """)
+        env = {k: v for k, v in os.environ.items()
+               if k != "ALPS_WAND_MIN_DF"}
+        p = subprocess.run([sys.executable, "-c", script], env=env,
+                           capture_output=True, text=True, timeout=300)
+        assert p.returncode == 0, p.stderr[-2000:]
+        line = [ln for ln in p.stdout.splitlines()
+                if ln.startswith("RESULT:")][0]
+        got = json.loads(line[len("RESULT:"):])
+        assert got["resolved"] == side["wand_auto_min_df"]
+        assert got["probe_cache"] == {}, "probe must not run when sidecar exists"
+        assert got["scorer"] in ("fused", "exhaustive", "wand")
 
     def test_malformed_env_pin_falls_through(self, spark, built_index,
                                              monkeypatch):

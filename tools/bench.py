@@ -42,6 +42,7 @@ SCRIPTS = {
     "skew": "tools/skew_stress.py",
     "recall": "tools/ann_recall.py",
     "qscale": "tools/query_scaling.py",
+    "dedup": "tools/dedup_scale.py",
 }
 
 

@@ -46,6 +46,10 @@ QUERIES = [
     ("match_rare", "exh", "match_query", ("parse json config",)),
     ("wand_hot_def", "wand", "match_query", ("def",)),
     ("wand_mixed", "wand", "match_query", ("def import data",)),
+    # r7 (VERDICT r6 next #2 done-criterion): the forced-exhaustive 3-hot-term
+    # query whose r6 collect_list fold cost 24.4 s at 10M — the clause-order
+    # fold must bring it back toward the r5 ~6 s
+    ("exh_mixed", "exh", "match_query", ("def import data",)),
     ("phrase", "exh", "match_phrase_query", ("def main",)),
     ("fuzzy", "exh", "fuzzy_query", ("improt",)),
 ]

@@ -151,23 +151,32 @@ class TestDedup:
 
     def test_pair_miners_release_pinned_blocks(self, spark, dup_docs):
         """VERDICT r2 wrong #3: after release() (or with persist disabled)
-        the pair miners must leave NO pinned cache blocks behind."""
+        the pair miners must leave NO pinned cache blocks behind.
+
+        r7 de-flake: compare persistent-RDD ID SETS, not counts — earlier
+        tests' localCheckpoint RDDs (connected_components lineage cuts) are
+        garbage-collected by the ContextCleaner at arbitrary times, so a
+        global count can shrink mid-test and mask the +1 this test looks
+        for (seen once in the r7 full-suite run)."""
         def pinned():
-            return spark.sparkContext._jsc.getPersistentRDDs().size()
+            jmap = spark.sparkContext._jsc.getPersistentRDDs()
+            return {int(k) for k in jmap.keySet().toArray()}
         base = pinned()
         pdf, release = minhash_lsh_pairs(dup_docs, threshold=0.4)
         pdf.collect()
-        assert pinned() > base          # cache in use during the action
+        added = pinned() - base
+        assert added                    # cache in use during the action
         release()
         pdf2, release2 = simhash_pairs(dup_docs, max_hamming=10)
         pdf2.collect()
+        added |= pinned() - base
         release2()
-        assert pinned() == base
-        # persist disabled → never pins anything
+        assert not (pinned() & added)   # everything WE pinned is gone
+        # persist disabled → never pins anything new
         pdf3, release3 = minhash_lsh_pairs(dup_docs, threshold=0.4,
                                            persist_signatures=False)
         pdf3.collect()
-        assert pinned() == base
+        assert not (pinned() - base - added)
         release3()
 
     def test_embedding_cosine(self, spark):

@@ -108,15 +108,18 @@ def varint_decode_np(buf: bytes) -> np.ndarray:
     return out
 
 
-def varint_encode_np(values) -> bytes:
-    """Vectorized varint encode (r2 — completes the decode-side work: the
-    per-byte Python loop in ``varint_encode`` was the remaining hot-path
-    Python in block packing). Processes one 7-bit byte POSITION of every
-    value per numpy pass (≤ 10 passes for 64-bit inputs); property-tested
-    byte-identical to ``varint_encode``."""
+def varint_encode_np_offsets(values) -> Tuple[bytes, np.ndarray]:
+    """Vectorized varint encode returning ``(buffer, byte_end_per_value)`` —
+    ``ends[i]`` is the exclusive byte offset of value ``i``'s encoding, so a
+    caller can slice the encoding of any value RANGE out of the one buffer
+    (r8: lets block packing encode a whole partition in one numpy pass and
+    cut per-block byte windows, instead of one encode call per block).
+    Processes one 7-bit byte POSITION of every value per numpy pass (≤ 10
+    passes for 64-bit inputs); property-tested byte-identical to
+    ``varint_encode``."""
     v = np.asarray(values, dtype=np.uint64)
     if not len(v):
-        return b""
+        return b"", np.empty(0, dtype=np.int64)
     nbytes = np.ones(len(v), dtype=np.int64)
     tmp = v >> np.uint64(7)
     while tmp.any():
@@ -133,7 +136,12 @@ def varint_encode_np(values) -> bytes:
         cont = (nbytes[mask] > j + 1).astype(np.uint8)
         out[idx] = b | (cont << 7)
         vv >>= np.uint64(7)
-    return out.tobytes()
+    return out.tobytes(), ends
+
+
+def varint_encode_np(values) -> bytes:
+    """Vectorized varint encode (r2); see ``varint_encode_np_offsets``."""
+    return varint_encode_np_offsets(values)[0]
 
 
 def pack_block(doc_ids: np.ndarray, freqs: np.ndarray, dls: np.ndarray,
@@ -206,3 +214,82 @@ def pack_term_bucket(term: str, bucket: int, doc_ids: np.ndarray,
         rows.append((bucket, term, bi, len(d), int(d[0]), int(d[-1]),
                      docs_b, freqs_b, dls_b, pos_b, mtf))
     return rows
+
+
+def pack_frame(bucket: np.ndarray, terms: np.ndarray, doc_ids: np.ndarray,
+               freqs: np.ndarray, dls: np.ndarray, positions: np.ndarray,
+               block_size: int, k1: float, b: float, avgdl: float) -> dict:
+    """Vectorized packing of a whole (bucket, term, doc_id)-sorted partition
+    slice into block rows — byte-identical to running ``pack_term_bucket``
+    over every (bucket, term) group in order (property-tested), but with the
+    per-group / per-block Python replaced by whole-array numpy (r8: the
+    pandas ``groupby`` iteration that fed ``pack_term_bucket`` created one
+    sub-DataFrame per group — hundreds of thousands of ~50 µs allocations
+    per build — and dominated the packed-build stage).
+
+    ``positions`` must hold per-posting pre-encoded varint buffers (bytes)
+    as produced by ``encode_positions`` (the analyzer-UDF output shape).
+    Returns a dict of column arrays/lists in PACKED_SCHEMA order.
+    """
+    n = len(doc_ids)
+    if n == 0:
+        return {c: [] for c in ("bucket", "term", "block_id", "n",
+                                "first_doc", "last_doc", "docs", "freqs",
+                                "dls", "pos", "max_tf_norm")}
+    doc = np.asarray(doc_ids, dtype=np.int64)
+    frq = np.asarray(freqs, dtype=np.int64)
+    dl = np.asarray(dls, dtype=np.int64)
+    # group boundaries: a new (bucket, term) run starts where either changes
+    new_grp = np.empty(n, dtype=bool)
+    new_grp[0] = True
+    new_grp[1:] = (bucket[1:] != bucket[:-1]) | (terms[1:] != terms[:-1])
+    grp_start = np.flatnonzero(new_grp)
+    grp_end = np.append(grp_start[1:], n)
+    sizes = grp_end - grp_start
+    nblocks = (sizes + block_size - 1) // block_size
+    grp_of_block = np.repeat(np.arange(len(grp_start)), nblocks)
+    first_block_of_grp = np.concatenate(([0], np.cumsum(nblocks)[:-1]))
+    block_id = (np.arange(int(nblocks.sum()))
+                - first_block_of_grp[grp_of_block])
+    blk_start = grp_start[grp_of_block] + block_id * block_size
+    blk_end = np.minimum(blk_start + block_size, grp_end[grp_of_block])
+    # docID deltas, absolute at every block start (pack_block's layout)
+    gaps = np.empty(n, dtype=np.int64)
+    gaps[1:] = doc[1:] - doc[:-1]
+    gaps[blk_start] = doc[blk_start]
+    docs_buf, docs_ends = varint_encode_np_offsets(gaps)
+    freqs_buf, freqs_ends = varint_encode_np_offsets(frq)
+    dls_buf, dls_ends = varint_encode_np_offsets(dl)
+
+    def _cut(buf: bytes, ends: np.ndarray) -> List[bytes]:
+        lo = np.where(blk_start > 0, ends[blk_start - 1], 0).tolist()
+        hi = ends[blk_end - 1].tolist()
+        return [buf[a:z] for a, z in zip(lo, hi)]
+
+    # per-posting tf_norm once, per-block max via segmented reduce —
+    # identical arithmetic to pack_block (freq/(freq + k1·(1−b+b·dl/avgdl)))
+    denom = frq + k1 * (1.0 - b + b * dl.astype(np.float64) / avgdl)
+    tfn = frq / denom
+    max_tf_norm = np.maximum.reduceat(tfn, blk_start)
+    pos_list = positions.tolist()
+    first = next((p for p in pos_list if p is not None), None)
+    if first is not None and not isinstance(first, (bytes, bytearray)):
+        # int-array positions (the SQL-expressible profile stores raw
+        # arrays): per-posting varint encode, then concatenate like the
+        # pre-encoded case — byte-identical to pack_block's else branch
+        pos_list = [encode_positions(list(p)) for p in pos_list]
+    pos_cuts = [b"".join(bytes(p) for p in pos_list[s:e])
+                for s, e in zip(blk_start.tolist(), blk_end.tolist())]
+    return {
+        "bucket": bucket[blk_start],
+        "term": terms[blk_start],
+        "block_id": block_id,
+        "n": blk_end - blk_start,
+        "first_doc": doc[blk_start],
+        "last_doc": doc[blk_end - 1],
+        "docs": _cut(docs_buf, docs_ends),
+        "freqs": _cut(freqs_buf, freqs_ends),
+        "dls": _cut(dls_buf, dls_ends),
+        "pos": pos_cuts,
+        "max_tf_norm": max_tf_norm,
+    }

@@ -352,7 +352,7 @@ class SearchEngine:
              .filter(F.col("term").isin(terms))
              .join(F.broadcast(wdf), "term")
              .withColumn("s", F.col("weight") * self._tf_norm_col(field)))
-        agg = self._grouped_score(j, len(clause_mults), required)
+        agg = self._grouped_score(j, len(clause_mults))
         if required > 1:
             agg = agg.filter(F.col("nmatch") >= required)
         agg, obs = self._observe_total(agg)
@@ -372,11 +372,15 @@ class SearchEngine:
         (independent of expansion-collection order and of index layout),
         mirroring Lucene's fixed clause-iteration determinism."""
         pairs = sorted((cid, t) for cid, t, *_ in clause_rows)
-        assert len(set(pairs)) == len(pairs), \
-            "duplicate (clause_id, term) pair — callers must pre-merge weights"
+        if len(set(pairs)) != len(pairs):
+            # ValueError, not assert (ADVICE r7): the no-duplicate contract
+            # must hold under python -O too — a silent collapse here would
+            # break the cross-path bit-identical fold
+            raise ValueError("duplicate (clause_id, term) pair — callers "
+                             "must pre-merge weights")
         return {p: i for i, p in enumerate(pairs)}
 
-    def _grouped_score(self, j: DataFrame, m: int, required: int) -> DataFrame:
+    def _grouped_score(self, j: DataFrame, m: int) -> DataFrame:
         """Per-doc score with a canonical fold order (r6 find, r7 rework —
         VERDICT r6 next #2): fold the ≤ m contributions in fixed
         (clause_id, term) order. Each (doc, jidx) has AT MOST ONE posting
@@ -439,7 +443,7 @@ class SearchEngine:
              .filter(F.col("term").isin(terms))  # pushed into the parquet scan
              .join(F.broadcast(cdf), "term")
              .withColumn("s", F.col("weight") * self._tf_norm_col(field)))
-        agg = self._grouped_score(j, len(clauses), required)
+        agg = self._grouped_score(j, len(clauses))
         if required > 1:
             agg = agg.filter(F.col("nmatch") >= required)
         agg, obs = self._observe_total(agg)

@@ -194,8 +194,12 @@ class QueryConfig:
     # this budget, fetch them in ONE incremental job and score on the driver
     # (what a search tier does for pruned term sets); a query that trips the
     # budget — e.g. a 10^9-df hot term at 100 TB — automatically falls back
-    # to the distributed scoring plan. 0 disables.
-    driver_score_max_postings: int = 200_000
+    # to the distributed scoring plan. 0 disables. Default re-measured r8
+    # (tools/r8_profile + OPTIMIZATION_r08.md): the driver fold beats the
+    # distributed plan 2.3–5× for Σdf up to at least 10⁶ on the dev box
+    # (1M rows ≈ 30–50 MB Arrow transfer — bounded, search-tier-sized);
+    # the r1-r7 value of 200_000 left 4-hot-term queries on the slow side.
+    driver_score_max_postings: int = 1_000_000
     fuzzy_max_expansions: int = 50  # search.py:305
     fuzzy_multiword_minimum_should_match: str = "60%"  # search.py:295
     # block-max WAND scorer (must be result-identical). False / True /

@@ -23,6 +23,7 @@ import time
 from datetime import datetime
 from typing import Dict, List, Optional, Sequence, Tuple
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Observation, SparkSession, functions as F
 
@@ -183,9 +184,25 @@ class SearchEngine:
 
     def _empty_hits(self) -> DataFrame:
         self._set_total(count=0)
-        return self.spark.createDataFrame([], "doc_id long, score double")
+        # Built once and reused, and from a one-row LOCAL relation + limit(0)
+        # rather than createDataFrame([], ddl) (r8): the empty-list form is
+        # RDD-backed and schedules defaultParallelism EMPTY tasks per
+        # collect — measured 0.35 s/collect on local[32] vs 5 ms for the
+        # local-relation plan. Schema is identical.
+        df = getattr(self, "_empty_hits_df", None)
+        if df is None:
+            df = self._empty_hits_df = self.spark.createDataFrame(
+                [(0, 0.0)], "doc_id long, score double").limit(0)
+        return df
 
-    _HOT_DF_K = 50_000
+    # Driver-side top-K-by-df term dictionary cap. 400k × ~50 B ≈ 20 MB —
+    # an ES data node keeps a comparable terms index in heap per shard.
+    # Raised 50k → 400k in r8: when the cap covers the WHOLE vocabulary
+    # (ceiling == 0) the fuzzy expansion runs driver-side with no Spark job
+    # (see _fuzzy_expand_local), and a 60k-doc code corpus already carries
+    # ~300k distinct terms. At 100-TB vocabularies the dict simply holds
+    # the hottest 400k terms and routing behaves as before.
+    _HOT_DF_K = 400_000
     # which scorer served the last match-family query: "driver" | "fused" |
     # "exhaustive" | "wand" (diagnostics + use_wand="auto" tests)
     last_scorer: Optional[str] = None
@@ -209,10 +226,14 @@ class SearchEngine:
         if cached is None:
             cached = self._hot_df_cache = {}
         if field not in cached:
-            rows = (self._term_stats[field]
-                    .orderBy(F.desc("df"), F.asc("term"))
-                    .limit(self._HOT_DF_K).select("term", "df").collect())
-            hot = {r["term"]: r["df"] for r in rows}
+            # Arrow transfer (toPandas), not collect(): a row-object
+            # collect of a few 100k terms costs ~0.5 s of py4j
+            # deserialization; the Arrow path is ~10× cheaper (r8)
+            pdf = (self._term_stats[field]
+                   .orderBy(F.desc("df"), F.asc("term"))
+                   .limit(self._HOT_DF_K).select("term", "df").toPandas())
+            hot = dict(zip(pdf["term"].tolist(),
+                           (int(d) for d in pdf["df"].tolist())))
             ceiling = min(hot.values()) if len(hot) >= self._HOT_DF_K else 0
             # ceiling==0 means the dict holds the WHOLE vocabulary
             cached[field] = (hot, ceiling)
@@ -248,9 +269,7 @@ class SearchEngine:
         self.last_scorer = "driver"
         if not len(pdf):
             return self._empty_hits()
-        n, avgdl = self._fstat(field)
-        k1, b = self.k1, self.b
-        one_minus_b = 1.0 - b
+        n, _ = self._fstat(field)
         # df is exact: the fetch was complete (budget not tripped)
         df_by_term = pdf["term"].value_counts()
         clause_terms: Dict[int, set] = {}
@@ -261,6 +280,19 @@ class SearchEngine:
             idf = math.log(1.0 + (n - dfv + 0.5) / (dfv + 0.5))
             wrows.append((t, mult * idf, jmap[(cid, t)]))
             clause_terms.setdefault(cid, set()).add(t)
+        return self._driver_score_pdf(field, pdf, wrows, clause_terms,
+                                      required, size)
+
+    def _driver_score_pdf(self, field: str, pdf: pd.DataFrame, wrows,
+                          clause_terms: Dict[int, set], required: int,
+                          size: int) -> DataFrame:
+        """Vectorized driver-side BM25 fold over a fetched postings frame —
+        the shared tail of the match-family and WAND driver serving paths
+        (``wrows`` = (term, final weight, jidx) per clause)."""
+        import numpy as np
+        _, avgdl = self._fstat(field)
+        k1, b = self.k1, self.b
+        one_minus_b = 1.0 - b
         # ADVICE r6 #4: one contribution element per (posting row, clause) —
         # the exact multiset the distributed _grouped_score folds. Collapsing
         # duplicate-term clause weights into one (w1+w2)·tf element would
@@ -323,7 +355,7 @@ class SearchEngine:
             "doc_id": np.asarray(doc_ids, dtype=np.int64),
             "score": np.asarray(scores, dtype=np.float64)})
         if not len(pdf):
-            return self.spark.createDataFrame([], "doc_id long, score double")
+            return self._empty_hits()
         return self.spark.createDataFrame(pdf)
 
     def _score_clauses_fused(self, field: str, clause_mults: List[Tuple[int, str, float]],
@@ -597,11 +629,50 @@ class SearchEngine:
         jmap = self._canon_jidx(clauses)
         term_order = ({t: jmap[(cid, t)] for cid, t, _ in clauses}
                       if len(clauses) <= self.DET_SUM_MAX else None)
+        hits = self._wand_driver(field, clauses, terms, size, required)
+        if hits is not None:
+            return hits
         return wand_topk(self.spark, self.paths.packed(src),
                          self.paths.field_dir(src), clauses, size,
                          self.k1, self.b, avgdl, required,
                          packed_df=packed_df, n_buckets=n_buckets,
                          term_order=term_order)
+
+    def _wand_driver(self, field: str, clauses, terms, size: int,
+                     required: int) -> Optional[DataFrame]:
+        """Hybrid serving path for the WAND route (r8): when the query's
+        estimated Σdf fits the driver budget (the same O(1) hot-cache check
+        the match-family driver scorer makes), serve it with ONE term-pruned
+        postings fetch + the shared vectorized driver fold instead of the
+        distributed packed-block plan — whose shuffle + one-python-task-per-
+        bucket costs ~1 s of fixed overhead at small working sets (measured:
+        0.14 s to scan+collect the pruned data vs 1.1 s end-to-end). Under
+        the budget, pruning buys nothing: the whole working set transfers in
+        one job and the numpy fold beats a per-doc Python WAND walk (the
+        same machine-property crossover queries/calibrate.py measures).
+        Results are bit-identical — the r7 canonical (clause_id, term)
+        fold order makes the driver and WAND folds agree bit-for-bit
+        (cross-path identity is pytest-asserted). An over-budget query (the
+        100-TB hot-term regime) returns None and takes the distributed
+        block-max WAND exactly as before."""
+        budget = self.qcfg.driver_score_max_postings
+        if budget <= 0:
+            return None
+        hot, ceiling = self._hot_dfs(field)
+        if sum(hot.get(t, ceiling) for t in terms) > budget:
+            return None
+        tl = ", ".join("'" + t.replace("'", "''") + "'" for t in terms)
+        pdf = self.spark.sql(
+            f"SELECT term, doc_id, freq, dl FROM {self._postings_view(field)} "
+            f"WHERE term IN ({tl})").toPandas()
+        if not len(pdf):
+            # keep the recount plan set by _wand (count == 0 either way)
+            return self._empty_hits()
+        jmap = self._canon_jidx(clauses)
+        wrows = [(t, w, jmap[(cid, t)]) for cid, t, w in clauses]
+        clause_terms = {cid: {t} for cid, t, _ in clauses}
+        return self._driver_score_pdf(field, pdf, wrows, clause_terms,
+                                      required, size)
 
     def _phrase_driver(self, field: str, terms, offsets, uniq, dfs,
                        idf_sum: float, slop: int,
@@ -619,7 +690,15 @@ class SearchEngine:
         n_terms = len(uniq)
         view = self._postings_view(field)
         min_df = min(dfs[t] for t in uniq)
-        if min_df <= self.qcfg.phrase_driver_candidate_fetch_max:
+        sum_df = sum(dfs[t] for t in uniq)
+        # Two-fetch only when the hot∧rare asymmetry actually pays (r8):
+        # the second job's fixed cost (~0.1 s) buys skipping ~sum_df −
+        # n_terms·min_df position blobs. For balanced mid-df phrases that
+        # saving is ~nothing, so one fetch with positions wins a whole job;
+        # both variants feed the identical scorer → identical results.
+        two_fetch_pays = sum_df > max(32_000, 4 * n_terms * min_df)
+        if (min_df <= self.qcfg.phrase_driver_candidate_fetch_max
+                and two_fetch_pays):
             # two-fetch variant (mirrors the distributed two-phase plan): a
             # positions-FREE fetch finds conjunction candidates (≤ min df of
             # the phrase terms), then positions transfer only for those docs
@@ -646,6 +725,20 @@ class SearchEngine:
             sub = pdf[pdf["doc_id"].isin(cand_ids)]
         _, avgdl = self._fstat(field)
         k1, b = self.k1, self.b
+        if slop == 0:
+            # vectorized exact-phrase scoring (r8): the per-candidate-doc
+            # pandas loop below costs ~150 µs/doc (sub-frame + per-row
+            # decode + phrase_freq) — ~2.3 s for a mid-df two-term phrase
+            # at bench scale. phrase_freq(slop=0) counts anchor positions
+            # p of terms[0] with p+offsets[i] present for every other
+            # occurrence, which is a pure key-set intersection:
+            # key = doc·2³² + (pos − offset). Same BM25 expression tree →
+            # bit-identical scores (asserted by the cross-path pytest).
+            doc_ids, scores = self._phrase_freqs_vec(
+                sub, terms, offsets, idf_sum, k1, b, avgdl)
+            self._set_total(count=int(len(doc_ids)))
+            order = np.lexsort((doc_ids, -scores))[:size]
+            return self._local_hits_df(doc_ids[order], scores[order])
         scored = []
         for doc_id, g in sub.groupby("doc_id"):
             pos = {}
@@ -662,6 +755,77 @@ class SearchEngine:
         scored.sort(key=lambda x: (-x[1], x[0]))
         top = scored[:size]
         return self._local_hits_df([d for d, _ in top], [s for _, s in top])
+
+    @staticmethod
+    def _phrase_freqs_vec(sub: pd.DataFrame, terms, offsets, idf_sum: float,
+                          k1: float, b: float, avgdl: float):
+        """Exact-phrase (slop=0) frequencies + BM25 scores for candidate
+        rows, whole-frame numpy. Returns (doc_ids, scores) for docs with
+        freq > 0. Equivalent to phrase_freq(slop=0) per doc: positions are
+        unique per (term, doc), so each occurrence's adjusted key set is
+        unique and np.intersect1d(assume_unique) is the anchor count."""
+        import numpy as np
+        from elasticsearch_alps_spark.indexing.postings import varint_decode_np
+        empty = (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64))
+        if not len(sub):
+            return empty
+        row_doc = sub["doc_id"].to_numpy(dtype=np.int64)
+        row_dl = sub["dl"].to_numpy(dtype=np.float64)
+        pos_col = sub["positions"].tolist()
+        if pos_col and isinstance(pos_col[0], (bytes, bytearray)):
+            # one varint decode for ALL rows' blobs; per-row streams are
+            # [count, deltas...] so row boundaries derive from the counts
+            flat = varint_decode_np(b"".join(bytes(p) for p in pos_col))
+            starts = []
+            i = 0
+            for _ in range(len(pos_col)):
+                starts.append(i)
+                i += 1 + int(flat[i])
+            starts = np.asarray(starts, dtype=np.int64)
+            row_len = flat[starts]
+            deltas = np.delete(flat, starts)
+        else:  # raw int-array positions (already absolute, delta of cumsum)
+            row_len = np.fromiter((len(p) for p in pos_col), np.int64,
+                                  len(pos_col))
+            absolute = (np.concatenate([np.asarray(p, dtype=np.int64)
+                                        for p in pos_col])
+                        if row_len.sum() else np.empty(0, dtype=np.int64))
+            seg0 = np.concatenate(([0], np.cumsum(row_len)[:-1]))
+            deltas = np.empty_like(absolute)
+            if len(absolute):
+                deltas[0] = absolute[0]
+                deltas[1:] = absolute[1:] - absolute[:-1]
+                nz = seg0[row_len > 0]
+                deltas[nz] = absolute[nz]
+        # segmented cumsum → absolute positions per row
+        seg_start = np.concatenate(([0], np.cumsum(row_len)[:-1]))
+        cs = np.cumsum(deltas)
+        nonzero = row_len > 0
+        base = np.zeros(len(row_len), dtype=np.int64)
+        base[nonzero] = cs[seg_start[nonzero]] - deltas[seg_start[nonzero]]
+        flat_pos = cs - np.repeat(base, row_len)
+        flat_doc = np.repeat(row_doc, row_len)
+        # per-row term code aligned to the flattened positions
+        term_code = {t: i for i, t in enumerate(dict.fromkeys(terms))}
+        row_code = sub["term"].map(term_code).to_numpy(dtype=np.int64)
+        flat_code = np.repeat(row_code, row_len)
+        SHIFT = np.int64(1) << np.int64(32)
+        inter = None
+        for occ, t in enumerate(terms):
+            sel = flat_code == term_code[t]
+            keys = flat_doc[sel] * SHIFT + (flat_pos[sel]
+                                            - np.int64(offsets[occ]))
+            inter = keys if inter is None else np.intersect1d(
+                inter, keys, assume_unique=True)
+            if not len(inter):
+                return empty
+        docs_hit, freq = np.unique(inter // SHIFT, return_counts=True)
+        # dl per doc (identical across a doc's rows): first row wins
+        uniq_docs, first_ix = np.unique(row_doc, return_index=True)
+        dl = row_dl[first_ix[np.searchsorted(uniq_docs, docs_hit)]]
+        freq = freq.astype(np.float64)
+        tf = freq / (freq + k1 * (1.0 - b + b * dl / avgdl))
+        return docs_hit, idf_sum * tf
 
     def match_phrase_query(self, text: str, slop: int = 0,
                            size: Optional[int] = None) -> DataFrame:
@@ -797,8 +961,126 @@ class SearchEngine:
                   .select("term", "boost", "df"))
 
     def _fuzzy_expand(self, field: str, word: str) -> List[Tuple[str, float]]:
+        local = self._fuzzy_expand_local(field, [word])
+        if local is not None:
+            return local[0]
         cand = self._fuzzy_expand_df(field, word).collect()
         return [(r["term"], r["boost"], r["df"]) for r in cand]
+
+    def _fuzzy_vocab_arrays(self, field: str):
+        """Driver-side term dictionary as numpy arrays sorted by
+        (term_len, term): (lens, terms, dfs, padded char-code matrix).
+        Built once per field from the full-vocabulary hot-df cache; only
+        valid when that cache holds the WHOLE dictionary (ceiling == 0)."""
+        cached = getattr(self, "_fuzzy_vocab_cache", None)
+        if cached is None:
+            cached = self._fuzzy_vocab_cache = {}
+        if field not in cached:
+            hot, _ = self._hot_dfs(field)
+            items = sorted(hot.items(), key=lambda kv: (len(kv[0]), kv[0]))
+            terms = np.array([t for t, _ in items], dtype=object)
+            dfs = np.array([d for _, d in items], dtype=np.int64)
+            lens = np.array([len(t) for t, _ in items], dtype=np.int64)
+            width = int(lens.max()) if len(lens) else 0
+            mat = np.full((len(terms), width), -1, dtype=np.int32)
+            if len(terms):
+                # vectorized fill: one utf-32 decode of the joined
+                # dictionary instead of a per-term Python ord() loop
+                codes = np.frombuffer(
+                    "".join(terms.tolist()).encode("utf-32-le"),
+                    dtype=np.uint32).astype(np.int32)
+                rows_ix = np.repeat(np.arange(len(terms)), lens)
+                starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+                cols_ix = np.arange(len(codes)) - np.repeat(starts, lens)
+                mat[rows_ix, cols_ix] = codes
+            # hashed char-count signature (26+ buckets): one edit changes
+            # at most two bucket counts by 1 each, so L1(sig_a, sig_b) ≤ 2d
+            # is NECESSARY for edit distance ≤ d — a cheap vectorized
+            # prefilter that empties the ~|vocab|-sized DP band a long rare
+            # word would otherwise pay (measured ~0.8 s → ~0.1 s)
+            if len(terms):
+                rows_idx = np.repeat(np.arange(len(terms)), lens)
+                sig = np.bincount(rows_idx * 32 + (mat[mat >= 0] % 32),
+                                  minlength=len(terms) * 32
+                                  ).reshape(len(terms), 32).astype(np.int16)
+            else:
+                sig = np.zeros((0, 32), dtype=np.int16)
+            cached[field] = (lens, terms, dfs, mat, sig)
+        return cached[field]
+
+    @staticmethod
+    def _levenshtein_vec(word: str, mat: np.ndarray,
+                         tlens: np.ndarray) -> np.ndarray:
+        """Exact Levenshtein distance of ``word`` against every row of the
+        padded char-code matrix (classic DP, vectorized across candidates —
+        same distance Spark's ``levenshtein`` computes)."""
+        n, width = mat.shape
+        prev = np.tile(np.arange(width + 1, dtype=np.int32), (n, 1))
+        for i, ch in enumerate(word, 1):
+            wc = ord(ch)
+            cur = np.empty_like(prev)
+            cur[:, 0] = i
+            for j in range(1, width + 1):
+                sub = prev[:, j - 1] + (mat[:, j - 1] != wc)
+                cur[:, j] = np.minimum(np.minimum(prev[:, j] + 1,
+                                                  cur[:, j - 1] + 1), sub)
+            prev = cur
+        return prev[np.arange(n), tlens]
+
+    def _fuzzy_expand_local(self, field: str,
+                            words: List[str]) -> Optional[Dict[int, list]]:
+        """Driver-side expansion (r8): when the hot-df cache already holds
+        the ENTIRE term dictionary (ceiling == 0 — always true once
+        |vocab| ≤ _HOT_DF_K and the driver serving path is active), the
+        banded scan + levenshtein + top-k runs in numpy on the driver with
+        no Spark job at all — one job per fuzzy query instead of two.
+        Result-identical to _fuzzy_expand_df: same band, same distance,
+        same boost expression, same (boost desc, term asc) top-k cut.
+        Returns None when the dictionary exceeds the cache (the 100-TB
+        regime) or the driver path is disabled — callers then run the
+        distributed expansion plan exactly as before."""
+        if self.qcfg.driver_score_max_postings <= 0:
+            return None
+        hot, ceiling = self._hot_dfs(field)
+        if ceiling != 0:
+            return None
+        lens, terms, dfs, mat, sig = self._fuzzy_vocab_arrays(field)
+        out: Dict[int, list] = {}
+        for wi, word in enumerate(words):
+            max_d = fuzzy_auto_distance(word)
+            lo = np.searchsorted(lens, len(word) - max_d, side="left")
+            hi = np.searchsorted(lens, len(word) + max_d, side="right")
+            if hi <= lo:
+                out[wi] = []
+                continue
+            # char-signature prefilter (see _fuzzy_vocab_arrays): keeps only
+            # candidates whose hashed char counts are within 2·max_d moves —
+            # a superset of the ed ≤ max_d set, so the DP result is exact
+            qsig = np.zeros(32, dtype=np.int16)
+            np.add.at(qsig, np.array([ord(c) % 32 for c in word],
+                                     dtype=np.int64), 1)
+            l1 = np.abs(sig[lo:hi] - qsig).sum(axis=1)
+            band_ix = lo + np.flatnonzero(l1 <= 2 * max_d)
+            if not len(band_ix):
+                out[wi] = []
+                continue
+            # DP width bounded by the band's longest candidate, not the
+            # whole vocabulary's (a 255-char outlier token would otherwise
+            # widen every row's DP table ~10×)
+            wmax = int(lens[band_ix].max())
+            ed = self._levenshtein_vec(word, mat[band_ix][:, :wmax],
+                                       lens[band_ix])
+            keep = np.flatnonzero(ed <= max_d)
+            cand = []
+            for k in keep.tolist():
+                t = terms[band_ix[k]]
+                e = int(ed[k])
+                boost = (1.0 if e == 0
+                         else 1.0 - float(e) / float(min(len(t), len(word))))
+                cand.append((t, boost, int(dfs[band_ix[k]])))
+            cand.sort(key=lambda c: (-c[1], c[0]))
+            out[wi] = cand[:self.qcfg.fuzzy_max_expansions]
+        return out
 
     def _fuzzy_expand_multi_df(self, field: str, words: List[str]) -> DataFrame:
         """Expansion plan for several words in ONE term-dictionary scan (join
@@ -829,6 +1111,9 @@ class SearchEngine:
                     .select("widx", "term", "boost", "df"))
 
     def _fuzzy_expand_multi(self, field: str, words: List[str]) -> Dict[int, list]:
+        local = self._fuzzy_expand_local(field, words)
+        if local is not None:
+            return local
         top = self._fuzzy_expand_multi_df(field, words).collect()
         out: Dict[int, list] = {i: [] for i in range(len(words))}
         for r in top:

@@ -338,3 +338,57 @@ def test_png_roundtrip_all_filters(h, w, filts, seed):
                                               dtype=np.uint8)
     back = decode_png(encode_png(img, row_filters=filts))
     assert back.shape == img.shape and (back == img).all()
+
+
+@given(st.lists(st.tuples(
+    st.integers(min_value=0, max_value=30),    # doc_id
+    st.integers(min_value=0, max_value=2),     # term index
+    st.integers(min_value=1, max_value=40),    # dl
+), min_size=1, max_size=60, unique_by=lambda t: (t[0], t[1])),
+    st.booleans(), st.booleans())
+@settings(max_examples=150, deadline=None)
+def test_phrase_freqs_vec_equals_loop(rows, pre_encoded, three_terms):
+    """r8 vectorized exact-phrase scorer (engine._phrase_freqs_vec) must be
+    bit-identical to the per-doc phrase_freq loop it replaced, for both
+    position encodings and for phrases with stopword-gap offsets."""
+    import numpy as np
+    import pandas as pd
+    import random
+    from elasticsearch_alps_spark.indexing.postings import encode_positions
+    from elasticsearch_alps_spark.oracle import phrase_freq
+    from elasticsearch_alps_spark.queries.engine import SearchEngine
+
+    names = ["alpha", "beta", "gamma"]
+    terms = names[:3] if three_terms else names[:2]
+    offsets = [0, 2, 3][:len(terms)]           # gap after the first term
+    rng = random.Random(42 + len(rows))
+    recs = []
+    for doc, ti, dl in rows:
+        plist = sorted(rng.sample(range(0, 50), rng.randrange(1, 6)))
+        recs.append((names[ti], doc, len(plist), 10 + doc % 7, plist))
+    # keep only docs containing every phrase term (candidate semantics)
+    by_doc = {}
+    for t, d, f, dl, p in recs:
+        by_doc.setdefault(d, {})[t] = (f, dl, p)
+    cand = {d: v for d, v in by_doc.items()
+            if all(t in v for t in set(terms))}
+    rows_out = []
+    for d, v in sorted(cand.items()):
+        for t, (f, dl, p) in sorted(v.items()):
+            pos = encode_positions(p) if pre_encoded else p
+            rows_out.append((t, d, f, dl, pos))
+    sub = pd.DataFrame(rows_out,
+                       columns=["term", "doc_id", "freq", "dl", "positions"])
+    k1, b, avgdl, idf_sum = 1.2, 0.75, 17.3, 2.345678
+    docs_hit, scores = SearchEngine._phrase_freqs_vec(
+        sub, terms, offsets, idf_sum, k1, b, avgdl)
+    expected = []
+    for d, v in sorted(cand.items()):
+        pos = {t: p for t, (f, dl, p) in v.items()}
+        dl = float(next(iter(v.values()))[1])
+        fr = phrase_freq(terms, pos, 0, offsets)
+        if fr > 0.0:
+            tf = fr / (fr + k1 * (1.0 - b + b * dl / avgdl))
+            expected.append((d, idf_sum * tf))
+    assert [int(d) for d in docs_hit] == [d for d, _ in expected]
+    assert [float(s) for s in scores] == [s for _, s in expected]

@@ -273,3 +273,25 @@ def test_engine_close_releases_views_and_cache(spark, built_index):
     eng.close()
     assert not any(t.name == view for t in spark.catalog.listTables())
     assert spark.sparkContext._jsc.getPersistentRDDs().size() < persisted_before
+
+
+def test_fuzzy_local_expansion_equals_spark_plan(engine):
+    """r8: the driver-side fuzzy expansion (full-vocab hot cache + numpy
+    levenshtein) must reproduce the Spark expansion plan exactly — same
+    candidates, same boosts, same dfs, same (boost desc, term asc) top-k
+    cut — for every band width (max_d 0, 1 and 2) and for multi-word."""
+    words = ["improt", "retrun", "pars", "de", "tokeniz", "uniq_100_1",
+             "snake_case_token"]
+    local = engine._fuzzy_expand_local("main", words)
+    assert local is not None, "test vocab must fit the hot-df cache"
+    for wi, w in enumerate(words):
+        spark_rows = engine._fuzzy_expand_df("main", w).collect()
+        expected = [(r["term"], r["boost"], r["df"]) for r in spark_rows]
+        assert local[wi] == expected, f"expansion mismatch for {w!r}"
+    multi = engine._fuzzy_expand_multi_df("main", words).collect()
+    by_w = {i: [] for i in range(len(words))}
+    for r in multi:
+        by_w[r["widx"]].append((r["term"], r["boost"], r["df"]))
+    for wi in by_w:
+        assert sorted(local[wi], key=lambda c: (-c[1], c[0])) == \
+            sorted(by_w[wi], key=lambda c: (-c[1], c[0]))

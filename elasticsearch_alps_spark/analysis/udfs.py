@@ -91,6 +91,59 @@ def dual_doc_postings_udf(cfg_main: AnalyzerConfig, cfg_exact: AnalyzerConfig):
     return _posts2
 
 
+# flat per-(doc, field, term) postings row stream — see dual_doc_postings_flat
+FLAT_POSTINGS_SCHEMA = ("doc_id long, fld int, doc_len int, term string, "
+                        "freq int, ps binary")
+
+
+def dual_doc_postings_flat(cfg_main: AnalyzerConfig,
+                           cfg_exact: AnalyzerConfig):
+    """mapInArrow batch fn: (doc_id, text) batches → FLAT postings rows for
+    BOTH fields (fld 0 = main, 1 = exact), one row per (doc, field, distinct
+    term), with per-posting varint-packed positions.
+
+    r8 replacement for dual_doc_postings_udf + the JVM-side explode in the
+    builder: the nested struct<struct<array<struct>>> column cost far more
+    in pandas→Arrow object conversion (and in caching the nested rows) than
+    the analysis itself — measured ~0.36 s of 32-core Python compute inside
+    a ~7 s stage. Flat columns are built directly as Arrow arrays from flat
+    Python lists (C-speed conversion), and the downstream shuffle consumes
+    them with no explode. Emits identical (doc_id, dl-source, term, freq,
+    positions) content to the exploded nested path."""
+    import pyarrow as pa
+
+    cfgs = [cfg_main, cfg_exact]
+    arrow_schema = pa.schema([
+        ("doc_id", pa.int64()), ("fld", pa.int32()), ("doc_len", pa.int32()),
+        ("term", pa.string()), ("freq", pa.int32()), ("ps", pa.binary()),
+    ])
+
+    def _flat(batches):
+        for batch in batches:
+            doc_ids = batch.column("doc_id").to_pylist()
+            texts = batch.column(1).to_pylist()
+            o_doc, o_fld, o_len = [], [], []
+            o_term, o_freq, o_ps = [], [], []
+            for did, x in zip(doc_ids, texts):
+                streams = analyze_positions_multi(x, cfgs)
+                for fld, stream in enumerate(streams):
+                    ln, posts = _doc_posts(stream)
+                    for t, f, ps in posts:
+                        o_doc.append(did)
+                        o_fld.append(fld)
+                        o_len.append(ln)
+                        o_term.append(t)
+                        o_freq.append(f)
+                        o_ps.append(ps)
+            yield pa.record_batch([
+                pa.array(o_doc, pa.int64()), pa.array(o_fld, pa.int32()),
+                pa.array(o_len, pa.int32()), pa.array(o_term, pa.string()),
+                pa.array(o_freq, pa.int32()), pa.array(o_ps, pa.binary()),
+            ], schema=arrow_schema)
+
+    return _flat
+
+
 def dual_token_stream_udf(cfg_main: AnalyzerConfig, cfg_exact: AnalyzerConfig):
     """pandas_udf producing BOTH fields' token streams in one Python pass —
     char filter + tokenizer shared (the reference indexes text and text.exact

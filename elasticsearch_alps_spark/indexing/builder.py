@@ -196,6 +196,13 @@ def _build_field(spark: SparkSession, n_docs: int, src: DataFrame,
                             F.col("e.t").alias("term"),
                             F.col("e.f").cast("long").alias("freq"),
                             F.col("e.ps").alias("positions")))
+    elif src_kind == "flat":
+        # already one row per (doc, term) — no explode (r8 flat UDF stream)
+        dl = (quantize_length_col(F.col("doc_len")) if cfg.quantize_norms
+              else F.col("doc_len").cast("long"))
+        postings = src.select("doc_id", dl.alias("dl"), "term",
+                              F.col("freq").cast("long").alias("freq"),
+                              F.col("ps").alias("positions"))
     else:
         tok = src.select("doc_id", F.size("tok").alias("doc_len"), F.col("tok"))
         dl = (quantize_length_col(F.col("doc_len")) if cfg.quantize_norms
@@ -514,21 +521,24 @@ def _build_fields(spark: SparkSession, cfg: IndexConfig, paths: IndexPaths,
     dual = cfg.exact_analyzer is not None and not same_analyzer
     cached = None
     if dual:
-        # one Python pass produces BOTH fields' per-doc postings (shared char
+        # one Python pass produces BOTH fields' postings (shared char
         # filter + tokenizer), cached across the two field builds — and the
         # per-(term,doc) aggregation happens inside the UDF, so each field
-        # needs only the term-range shuffle (no groupBy shuffle)
-        from elasticsearch_alps_spark.analysis.udfs import dual_doc_postings_udf
-        both = docs.select(
-            "doc_id",
-            dual_doc_postings_udf(cfg.analyzer, cfg.exact_analyzer)(
-                F.col(text_col)).alias("both"))
-        cached = both.persist()
-        src_main = cached.select("doc_id", F.col("both.main.len").alias("doc_len"),
-                                 F.col("both.main.posts").alias("posts"))
-        src_exact = cached.select("doc_id", F.col("both.exact.len").alias("doc_len"),
-                                  F.col("both.exact.posts").alias("posts"))
-        kind = "posts"
+        # needs only the term-range shuffle (no groupBy shuffle). r8: the
+        # UDF emits FLAT (doc, fld, term) rows via mapInArrow instead of a
+        # nested struct column + JVM explode — the nested pandas→Arrow
+        # object conversion dominated this stage (guide §4.2), flat arrays
+        # convert at C speed and cache smaller.
+        from elasticsearch_alps_spark.analysis.udfs import (
+            FLAT_POSTINGS_SCHEMA, dual_doc_postings_flat,
+        )
+        flat = docs.select("doc_id", F.col(text_col)).mapInArrow(
+            dual_doc_postings_flat(cfg.analyzer, cfg.exact_analyzer),
+            FLAT_POSTINGS_SCHEMA)
+        cached = flat.persist()
+        src_main = cached.filter(F.col("fld") == 0).drop("fld")
+        src_exact = cached.filter(F.col("fld") == 1).drop("fld")
+        kind = "flat"
     elif simple_expressible(cfg.analyzer):
         # JVM-only token path (SQL-expressible simple profile)
         src_main = tokens_with_positions(

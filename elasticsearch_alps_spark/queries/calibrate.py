@@ -77,7 +77,7 @@ def python_decode_ns_per_posting(n: int = 500_000, trials: int = 3) -> float:
     return best / n * 1e9
 
 
-def jvm_scan_ns_per_row(spark, n: int = 8_000_000, trials: int = 3) -> float:
+def jvm_scan_ns_per_row(spark, n: int = 8_000_000, trials: int = 2) -> float:
     """Time a whole-stage-codegen scan+agg (spark.range → sum) → ns/row —
     the unit of work the fused exhaustive scorer pays per posting."""
     df = spark.range(n).selectExpr("sum(id % 7) AS s")

@@ -384,7 +384,7 @@ class SearchEngine:
              .filter(F.col("term").isin(terms))
              .join(F.broadcast(wdf), "term")
              .withColumn("s", F.col("weight") * self._tf_norm_col(field)))
-        agg = self._grouped_score(j, len(clause_mults))
+        agg = self._grouped_score(j, len(clause_mults), required > 1)
         if required > 1:
             agg = agg.filter(F.col("nmatch") >= required)
         agg, obs = self._observe_total(agg)
@@ -412,7 +412,8 @@ class SearchEngine:
                              "must pre-merge weights")
         return {p: i for i, p in enumerate(pairs)}
 
-    def _grouped_score(self, j: DataFrame, m: int) -> DataFrame:
+    def _grouped_score(self, j: DataFrame, m: int,
+                       with_nmatch: bool) -> DataFrame:
         """Per-doc score with a canonical fold order (r6 find, r7 rework —
         VERDICT r6 next #2): fold the ≤ m contributions in fixed
         (clause_id, term) order. Each (doc, jidx) has AT MOST ONE posting
@@ -430,23 +431,30 @@ class SearchEngine:
         pairs the compact ascending-value fold returns (both are
         layout-invariant; the driver path switches on the same constant so
         cross-path bit-identity holds per query)."""
+        # nmatch (countDistinct) only when the caller will FILTER on it
+        # (required > 1) — r8: Spark rewrites a distinct aggregate into an
+        # Expand + two aggregation passes (a second shuffle), and the
+        # CollectMetrics observe node blocks Catalyst from pruning the
+        # unused nmatch away; a required==1 query paid ~3x for a column it
+        # dropped (measured 0.93 s -> 0.29 s on a hot single-term query).
+        nm = ([F.countDistinct("clause_id").alias("nmatch")]
+              if with_nmatch else [])
         if m <= 1:
             return j.groupBy("doc_id").agg(
-                F.sum("s").alias("score"),
-                F.countDistinct("clause_id").alias("nmatch"))
+                F.sum("s").alias("score"), *nm)
         if m <= self.DET_SUM_MAX:
             sums = [F.sum(F.when(F.col("jidx") == i, F.col("s"))).alias(f"_s{i}")
                     for i in range(m)]
-            agg = j.groupBy("doc_id").agg(
-                *sums, F.countDistinct("clause_id").alias("nmatch"))
+            agg = j.groupBy("doc_id").agg(*sums, *nm)
             score = F.coalesce(F.col("_s0"), F.lit(0.0))
             for i in range(1, m):
                 score = score + F.coalesce(F.col(f"_s{i}"), F.lit(0.0))
-            return agg.select("doc_id", score.alias("score"), "nmatch")
+            return agg.select("doc_id", score.alias("score"),
+                              *(["nmatch"] if with_nmatch else []))
         return j.groupBy("doc_id").agg(
             F.aggregate(F.array_sort(F.collect_list("s")),
                         F.lit(0.0), lambda acc, x: acc + x).alias("score"),
-            F.countDistinct("clause_id").alias("nmatch"))
+            *nm)
 
     def _observe_total(self, matches: DataFrame) -> Tuple[DataFrame, "object"]:
         """Attach a row-count Observation to the full-match plan: the top-k
@@ -475,7 +483,7 @@ class SearchEngine:
              .filter(F.col("term").isin(terms))  # pushed into the parquet scan
              .join(F.broadcast(cdf), "term")
              .withColumn("s", F.col("weight") * self._tf_norm_col(field)))
-        agg = self._grouped_score(j, len(clauses))
+        agg = self._grouped_score(j, len(clauses), required > 1)
         if required > 1:
             agg = agg.filter(F.col("nmatch") >= required)
         agg, obs = self._observe_total(agg)

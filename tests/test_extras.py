@@ -1302,3 +1302,33 @@ class TestSampling:
                 "formatted"))
         assert "Filter" in plan and "BatchEvalPython" not in plan \
             and "ArrowEvalPython" not in plan
+
+
+def test_regex_shingles_equal_transform_formulation(spark):
+    """r8: the lambda-free regexp_extract_all n-gram construction must equal
+    the r7 transform/slice/array_join formulation exactly (the DuckDB gate
+    oracles recompute shingles from the same definition) — over empty,
+    whitespace-only, short, punctuation/unicode-heavy and repeated-token
+    texts, for several n."""
+    from pyspark.sql import functions as F
+    from elasticsearch_alps_spark.extras import dedup as D
+
+    def old_shingles(toks, n):
+        return (F.when(F.size(toks) >= n,
+                       F.array_distinct(F.transform(
+                           F.sequence(F.lit(0), F.size(toks) - n),
+                           lambda i: F.array_join(F.slice(toks, i + 1, n),
+                                                  " "))))
+                 .when(F.size(toks) > 0, F.array(F.array_join(toks, " ")))
+                 .otherwise(F.array().cast("array<string>")))
+
+    texts = ["", "   ", "a", "a b", "a b c", "a b c d e", "x  y\t\tz",
+             "Héllo wörld f00 _bar_ baz", "a-b-c d.e.f", "ONE TWO THREE four",
+             "a a a a a", "tok " * 300, "中文 字 a b c d",
+             "punct!@#$%^&*()mix 123_abc x", "\n\nnew\nlines here now\n"]
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    for n in (2, 3, 5):
+        toks = D._tokens_expr("text")
+        cmp = df.select(old_shingles(toks, n).alias("old"),
+                        D._shingles_from_tokens(toks, n).alias("new"))
+        assert cmp.filter(F.col("old") != F.col("new")).count() == 0

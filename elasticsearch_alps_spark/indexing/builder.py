@@ -509,12 +509,15 @@ def _build_fields(spark: SparkSession, cfg: IndexConfig, paths: IndexPaths,
         # (metadata-backed parquet count)
         n_docs = (norm if norm is not None
                   else spark.read.parquet(paths.docs)).count()
-    # The analyzer UDF (the dominant cost) must fan out to every core: the
-    # live normalized plan is range-partitioned by key (and the written docs
-    # store lands as smallish files Spark would coalesce), so re-spread
-    # explicitly.
+    # The analyzer UDF (the dominant cost) must fan out to every core. The
+    # FRESH-path `norm` already has exactly n_shards balanced partitions
+    # (assign_dense_doc_ids range-partitions by the unique key with sampled
+    # boundaries), so re-spreading it shuffles the full corpus text for
+    # nothing — r8 drops that exchange (guide §2.4; content unchanged,
+    # hash-verified). Only the RESUME path needs the explicit respread: the
+    # written docs store lands as smallish files Spark would coalesce.
     docs = (norm if norm is not None
-            else spark.read.parquet(paths.docs)).repartition(n_shards)
+            else spark.read.parquet(paths.docs).repartition(n_shards))
     field_stats = {}
     same_analyzer = (cfg.exact_analyzer is not None
                      and cfg.exact_analyzer == cfg.analyzer)

@@ -47,14 +47,26 @@ def assign_dense_doc_ids(df: DataFrame, order_cols: List[str],
     """Add ``doc_id`` = dense global rank by ``order_cols`` (must be a unique
     key for determinism across runs/partitionings)."""
     n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
-    part = (df.repartitionByRange(n, *[F.col(c) for c in order_cols])
-              .sortWithinPartitions(*[F.col(c) for c in order_cols])
-              .withColumn("_mid", F.monotonically_increasing_id())
-              .persist(StorageLevel.MEMORY_AND_DISK))
+    # Pin the input for the duration of the exchange (r8, guide §2.4): the
+    # range exchange's boundary-sampling job executes the WHOLE child plan —
+    # unpersisted, that re-ran the source scan + normalization (filter,
+    # sha256, truncation) once per build just to sketch key boundaries
+    # (measured ~1 s of the 2.2 s phase at bench scale). The pin is released
+    # as soon as the shuffled/persisted `part` is materialized by the counts
+    # job below. doc_id values are partitioning-independent (global rank by a
+    # unique key), so this changes no output byte. At very large inputs the
+    # cache degrades to disk and trades a second source scan for a local
+    # spill write — parity at worst.
+    base = df.persist(StorageLevel.MEMORY_AND_DISK)
+    part = (base.repartitionByRange(n, *[F.col(c) for c in order_cols])
+                .sortWithinPartitions(*[F.col(c) for c in order_cols])
+                .withColumn("_mid", F.monotonically_increasing_id())
+                .persist(StorageLevel.MEMORY_AND_DISK))
     pid = F.shiftright("_mid", 33).cast("int")
     counts = {r["_pid"]: r["cnt"] for r in
               part.groupBy(pid.alias("_pid"))
                   .agg(F.count("*").alias("cnt")).collect()}
+    base.unpersist()  # `part` is materialized; the input pin has done its job
     offsets, acc = [], 0
     for p in sorted(counts):  # range partitions are globally ordered by pid
         offsets.append((p, acc))

@@ -193,6 +193,52 @@ def test_fused_vs_driver_idf_same_docsets(spark, built_index):
 
 
 @pytest.mark.parametrize("op,msm", [("or", None), ("and", None), ("or", 60)])
+def test_fused_casewhen_equals_join_clause_frame(spark, built_index, op, msm):
+    """r8: the match-family fused scorer builds the clause frame as literal
+    CASE WHEN projections (no join, no broadcast) instead of broadcasting a
+    (term, weight, jidx) frame joined with term_stats. Scores must be
+    BIT-identical to the join form for every operator/msm shape — the idf
+    expression tree is unchanged (JVM ln), only its df input moves from a
+    scanned column to a literal."""
+    lit_eng = SearchEngine(spark, built_index.root,
+                           QueryConfig(fused_stats=True,
+                                       driver_score_max_postings=0))
+    join_eng = SearchEngine(spark, built_index.root,
+                            QueryConfig(fused_stats=True,
+                                        driver_score_max_postings=0))
+    join_eng._force_join_clause_frame = True  # test hook: old broadcast form
+    for q in ("def", "parse json config", "import json"):
+        kw = {"operator": op} if msm is None else {"minimum_should_match": msm}
+        a = lit_eng.match_query(q, size=10_000, **kw).collect()
+        b = join_eng.match_query(q, size=10_000, **kw).collect()
+        assert lit_eng.last_scorer == "fused" and join_eng.last_scorer == "fused"
+        assert [(r["doc_id"], r["score"].hex()) for r in a] \
+            == [(r["doc_id"], r["score"].hex()) for r in b], (q, op, msm)
+
+
+def test_bool_duplicate_terms_take_join_clause_frame(spark, built_index):
+    """A term shared by several clauses must fan each posting row out to
+    every clause row — only the join form does that; the CASE WHEN guard
+    must route such queries to it (plan carries the broadcast join), and
+    results must match the driver path (glibc-vs-JVM ln ⇒ 1e-9 rel, same
+    tolerance as test_fused_vs_driver_idf_same_docsets)."""
+    eng = SearchEngine(spark, built_index.root,
+                       QueryConfig(fused_stats=True,
+                                   driver_score_max_postings=0))
+    drv = SearchEngine(spark, built_index.root, QueryConfig())
+    # bool_must duplicates a single word into two clauses (search.py:358)
+    hits = eng.bool_must_query("def")
+    assert eng.last_scorer == "fused"
+    assert "BroadcastHashJoin" in hits._jdf.queryExecution().executedPlan().toString()
+    a = {r["doc_id"]: r["score"] for r in hits.collect()}
+    b = {r["doc_id"]: r["score"] for r in drv.bool_must_query("def").collect()}
+    assert drv.last_scorer == "driver"
+    assert set(a) == set(b)
+    for d in a:
+        assert a[d] == pytest.approx(b[d], rel=1e-9), d
+
+
+@pytest.mark.parametrize("op,msm", [("or", None), ("and", None), ("or", 60)])
 def test_wand_total_hits_matches_exhaustive(spark, built_index, op, msm):
     """r3 (VERDICT r2 wrong #4 / ADVICE): the WAND path reports the exact
     capped match count via a lazy positions-free recount plan, not

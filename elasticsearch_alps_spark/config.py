@@ -200,6 +200,21 @@ class QueryConfig:
     # (1M rows ≈ 30–50 MB Arrow transfer — bounded, search-tier-sized);
     # the r1-r7 value of 200_000 left 4-hot-term queries on the slow side.
     driver_score_max_postings: int = 1_000_000
+    # driver-side postings cache (r8): a ``cache=True`` engine whose field's
+    # TOTAL postings row count is exactly known (the hot-term dict holds the
+    # whole vocabulary) and fits this budget loads the postings ONCE
+    # (term, doc_id, freq, dl, positions → term-sliced numpy arrays, one
+    # Spark job) and then serves every under-budget driver-path query with
+    # zero Spark jobs — the analog of an ES data node answering from its
+    # mmapped segment files instead of re-reading storage per query. Routing
+    # is unchanged (the driver_score_max_postings budget still decides
+    # driver vs distributed per query) and results are bit-identical: the
+    # driver fold is row-order invariant (see _driver_score_pdf). Corpora
+    # whose vocabulary exceeds the hot-dict cap or whose postings exceed
+    # this row budget (the 100-TB regime) never build the cache and behave
+    # exactly as before. 0 disables. 4M rows ≈ 150–250 MB driver heap
+    # including position blobs — a search-tier-sized working set.
+    driver_postings_cache_max_rows: int = 4_000_000
     fuzzy_max_expansions: int = 50  # search.py:305
     fuzzy_multiword_minimum_should_match: str = "60%"  # search.py:295
     # block-max WAND scorer (must be result-identical). False / True /

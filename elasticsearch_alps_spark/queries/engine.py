@@ -251,6 +251,70 @@ class SearchEngine:
             cached[field] = (hot, ceiling)
         return cached[field]
 
+    def _driver_cache(self, field: str) -> Optional[dict]:
+        """Term-sliced numpy postings for ``cache=True`` engines (r8): ONE
+        full fetch (term, doc_id, freq, dl, positions) sorted into contiguous
+        per-term slices, so every subsequent under-budget driver-path query
+        assembles its working set with zero Spark jobs. Built lazily on the
+        first driver-path query; returns None (permanently, per field) when
+        the engine is uncached, the budget is 0, the vocabulary overflows the
+        hot-dict cap (total row count then unknown — the 100-TB regime), or
+        the exact total exceeds driver_postings_cache_max_rows."""
+        budget = self.qcfg.driver_postings_cache_max_rows
+        if not self._cache or budget <= 0:
+            return None
+        store = getattr(self, "_dcache_store", None)
+        if store is None:
+            store = self._dcache_store = {}
+        src = self._field_src.get(field, field)
+        if src in store:
+            return store[src]
+        hot, ceiling = self._hot_dfs(field)
+        if ceiling != 0 or sum(hot.values()) > budget:
+            store[src] = None
+            return None
+        pdf = self.spark.sql(
+            f"SELECT term, doc_id, freq, dl, positions FROM "
+            f"{self._postings_view(field)}").toPandas()
+        codes, uniques = pd.factorize(pdf["term"], sort=True)
+        order = np.argsort(codes, kind="stable")
+        starts = np.searchsorted(codes[order], np.arange(len(uniques)))
+        ends = np.append(starts[1:], len(codes))
+        store[src] = {
+            "slices": {t: (int(s), int(e))
+                       for t, s, e in zip(uniques, starts, ends)},
+            "doc_id": pdf["doc_id"].to_numpy()[order],
+            "freq": pdf["freq"].to_numpy()[order],
+            "dl": pdf["dl"].to_numpy()[order],
+            "positions": pdf["positions"].to_numpy()[order],
+        }
+        return store[src]
+
+    @staticmethod
+    def _dcache_frame(cache: dict, terms, with_positions: bool) -> pd.DataFrame:
+        """Assemble the frame the term-IN fetch would have returned, from the
+        cache's per-term slices. Row order differs from a Spark fetch (term-
+        blocked here), which is immaterial: every driver scorer is row-order
+        invariant — at most one posting row per (doc, term), the score fold
+        reorders by jidx / sorts internally, and dl is constant per doc."""
+        sl = cache["slices"]
+        present = [t for t in dict.fromkeys(terms) if t in sl]
+        segs = [sl[t] for t in present]
+        if segs:
+            idx = np.concatenate([np.arange(s, e) for s, e in segs])
+            term_col = np.repeat(np.asarray(present, dtype=object),
+                                 [e - s for s, e in segs])
+        else:
+            idx = np.empty(0, dtype=np.int64)
+            term_col = np.empty(0, dtype=object)
+        data = {"term": term_col,
+                "doc_id": cache["doc_id"][idx],
+                "freq": cache["freq"][idx],
+                "dl": cache["dl"][idx]}
+        if with_positions:
+            data["positions"] = cache["positions"][idx]
+        return pd.DataFrame(data)
+
     def _score_clauses_driver(self, field: str,
                               clause_mults: List[Tuple[int, str, float]],
                               required: int, size: int) -> Optional[DataFrame]:
@@ -272,12 +336,17 @@ class SearchEngine:
         est = sum(hot.get(t, ceiling) for t in terms)
         if est > budget:
             return None
-        # one SQL string (single py4j round trip, vs ~100 ms of Column-API
-        # chatter) + Arrow transfer
-        tl = ", ".join("'" + t.replace("'", "''") + "'" for t in terms)
-        pdf = self.spark.sql(
-            f"SELECT term, doc_id, freq, dl FROM {self._postings_view(field)} "
-            f"WHERE term IN ({tl})").toPandas()
+        cache = self._driver_cache(field)
+        if cache is not None:
+            pdf = self._dcache_frame(cache, terms, with_positions=False)
+        else:
+            # one SQL string (single py4j round trip, vs ~100 ms of
+            # Column-API chatter) + Arrow transfer
+            tl = ", ".join("'" + t.replace("'", "''") + "'" for t in terms)
+            pdf = self.spark.sql(
+                f"SELECT term, doc_id, freq, dl FROM "
+                f"{self._postings_view(field)} "
+                f"WHERE term IN ({tl})").toPandas()
         self.last_scorer = "driver"
         if not len(pdf):
             return self._empty_hits()
@@ -724,10 +793,15 @@ class SearchEngine:
         hot, ceiling = self._hot_dfs(field)
         if sum(hot.get(t, ceiling) for t in terms) > budget:
             return None
-        tl = ", ".join("'" + t.replace("'", "''") + "'" for t in terms)
-        pdf = self.spark.sql(
-            f"SELECT term, doc_id, freq, dl FROM {self._postings_view(field)} "
-            f"WHERE term IN ({tl})").toPandas()
+        cache = self._driver_cache(field)
+        if cache is not None:
+            pdf = self._dcache_frame(cache, terms, with_positions=False)
+        else:
+            tl = ", ".join("'" + t.replace("'", "''") + "'" for t in terms)
+            pdf = self.spark.sql(
+                f"SELECT term, doc_id, freq, dl FROM "
+                f"{self._postings_view(field)} "
+                f"WHERE term IN ({tl})").toPandas()
         if not len(pdf):
             # keep the recount plan set by _wand (count == 0 either way)
             return self._empty_hits()
@@ -760,7 +834,17 @@ class SearchEngine:
         # saving is ~nothing, so one fetch with positions wins a whole job;
         # both variants feed the identical scorer → identical results.
         two_fetch_pays = sum_df > max(32_000, 4 * n_terms * min_df)
-        if (min_df <= self.qcfg.phrase_driver_candidate_fetch_max
+        cache = self._driver_cache(field)
+        if cache is not None:
+            # driver postings cache hit: the working set is already local, so
+            # the two-fetch transfer optimization is moot — assemble the one-
+            # fetch frame (identical scorer input → identical results; both
+            # fetch variants were already asserted result-equal)
+            pdf = self._dcache_frame(cache, uniq, with_positions=True)
+            counts = pdf.groupby("doc_id")["term"].nunique()
+            cand_ids = set(counts.index[counts == n_terms])
+            sub = pdf[pdf["doc_id"].isin(cand_ids)]
+        elif (min_df <= self.qcfg.phrase_driver_candidate_fetch_max
                 and two_fetch_pays):
             # two-fetch variant (mirrors the distributed two-phase plan): a
             # positions-FREE fetch finds conjunction candidates (≤ min df of

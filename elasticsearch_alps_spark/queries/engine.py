@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import math
 import os
+import threading
 import time
 from datetime import datetime
 from typing import Dict, List, Optional, Sequence, Tuple
@@ -89,8 +90,12 @@ class SearchEngine:
         # last resort. Thread-LOCAL so a serving tier can run concurrent
         # queries through one engine without cross-talk (Spark job submission
         # itself is thread-safe).
-        import threading
         self._totals = threading.local()
+        # fuzzy vocab arrays may be pre-built by a background thread while
+        # the driver postings cache fetch waits on the JVM — both the lock
+        # and the dict must exist before any such thread starts
+        self._fuzzy_vocab_cache: Dict[str, tuple] = {}
+        self._fuzzy_vocab_lock = threading.Lock()
 
     def _set_total(self, df: Optional[DataFrame] = None,
                    count: Optional[int] = None, obs=None) -> None:
@@ -273,6 +278,14 @@ class SearchEngine:
         if ceiling != 0 or sum(hot.values()) > budget:
             store[src] = None
             return None
+        # overlap the fuzzy vocab-matrix build (~0.5 s of pure numpy over
+        # the same hot dict; it was the whole first-fuzzy-query latency
+        # tail) with the Arrow fetch below, whose JVM-side work releases
+        # the GIL (guide §2.6 — fill otherwise-idle wait with independent
+        # work). _fuzzy_vocab_arrays is idempotent under its lock.
+        warm = threading.Thread(target=self._fuzzy_vocab_arrays,
+                                args=(field,), daemon=True)
+        warm.start()
         pdf = self.spark.sql(
             f"SELECT term, doc_id, freq, dl, positions FROM "
             f"{self._postings_view(field)}").toPandas()
@@ -1119,9 +1132,11 @@ class SearchEngine:
         (term_len, term): (lens, terms, dfs, padded char-code matrix).
         Built once per field from the full-vocabulary hot-df cache; only
         valid when that cache holds the WHOLE dictionary (ceiling == 0)."""
-        cached = getattr(self, "_fuzzy_vocab_cache", None)
-        if cached is None:
-            cached = self._fuzzy_vocab_cache = {}
+        with self._fuzzy_vocab_lock:
+            return self._fuzzy_vocab_arrays_locked(field,
+                                                   self._fuzzy_vocab_cache)
+
+    def _fuzzy_vocab_arrays_locked(self, field: str, cached: dict):
         if field not in cached:
             hot, _ = self._hot_dfs(field)
             if hot:

@@ -486,27 +486,40 @@ class SearchEngine:
             # one clause per term: literal term→(weight, jidx[, clause_id])
             # projection instead of a broadcast join (≤ DET_SUM_MAX branches
             # on the conditional-sum path; bool fan-outs above that are rare
-            # and still bounded by the query's clause count)
+            # and still bounded by the query's clause count).
+            # r8 batch 6: the three CASE chains are built as ONE SQL string
+            # each via F.expr instead of chained F.when Column calls —
+            # measured ~40-50 ms of py4j round trips PER CLAUSE on the
+            # Column path (plan construction 0.14-0.27 s of a ~0.5 s fused
+            # query). The SQL parses to the IDENTICAL expression tree
+            # (CaseWhen with no else; D-suffixed double literals; ln ==
+            # F.log), so Catalyst's constant folding produces bit-identical
+            # weights — every fused-path oracle gate re-verified green.
             dfs = self._df_lookup(field, terms)
-            w_expr = j_expr = c_expr = None
+
+            def lit_s(t: str) -> str:
+                # backslash BEFORE quote: Spark SQL treats \ as an escape
+                return "'" + t.replace("\\", "\\\\").replace("'", "''") + "'"
+
+            w_arms, j_arms, c_arms = [], [], []
+            nf = float(n)
             for cid, t, mult in clause_mults:
-                cond = F.col("term") == F.lit(t)
-                w = F.lit(mult) * idf_of(F.lit(float(dfs.get(t, 0))))
-                w_expr = (F.when(cond, w) if w_expr is None
-                          else w_expr.when(cond, w))
-                ji = F.lit(jmap[(cid, t)])
-                j_expr = (F.when(cond, ji) if j_expr is None
-                          else j_expr.when(cond, ji))
+                cond = f"term = {lit_s(t)}"
+                dff = float(dfs.get(t, 0))
+                w = (f"{float(mult)!r}D * ln({1.0!r}D + ({nf!r}D - {dff!r}D"
+                     f" + {0.5!r}D) / ({dff!r}D + {0.5!r}D))")
+                w_arms.append(f"WHEN {cond} THEN {w}")
+                j_arms.append(f"WHEN {cond} THEN {jmap[(cid, t)]}")
                 if required > 1:
-                    ci = F.lit(cid)
-                    c_expr = (F.when(cond, ci) if c_expr is None
-                              else c_expr.when(cond, ci))
+                    c_arms.append(f"WHEN {cond} THEN {cid}")
             j = (self._postings[field]
                  .filter(F.col("term").isin(terms))
-                 .withColumn("jidx", j_expr)
-                 .withColumn("s", w_expr * self._tf_norm_col(field)))
+                 .withColumn("jidx", F.expr("CASE " + " ".join(j_arms) + " END"))
+                 .withColumn("s", F.expr("CASE " + " ".join(w_arms) + " END")
+                             * self._tf_norm_col(field)))
             if required > 1:
-                j = j.withColumn("clause_id", c_expr)
+                j = j.withColumn(
+                    "clause_id", F.expr("CASE " + " ".join(c_arms) + " END"))
         else:
             cdf = self.spark.createDataFrame(
                 [(cid, t, mult, jmap[(cid, t)]) for cid, t, mult in clause_mults],
